@@ -1,0 +1,166 @@
+package graft.tables
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import scala.jdk.CollectionConverters._
+
+/** Iceberg-*style* table layer: parquet data + JSON snapshot manifests with
+  * an atomically-replaced CURRENT pointer, plus per-partition lineage
+  * counters. This replaces both the reference's Neo4j store and its per-key
+  * LLM JSON cache (the resume layer,
+  * /root/reference/kg-builder/internal/llm/llm.go:304-418): where the
+  * reference resumes at concept granularity from cache files, a killed run
+  * here resumes at partition (bucket) granularity from committed manifests.
+  * (A real Iceberg catalog could be dropped in — the runtime jar doesn't ship
+  * in this sandbox; SURVEY.md §7.3.)
+  */
+object TableIO {
+
+  private val mapper = new ObjectMapper()
+
+  final case class PartitionMeta(
+      stage: String, partition: Int, status: String,
+      input_rows: Long, output_rows: Long, wall_ms: Long, fingerprint: String)
+
+  private def writeJsonAtomic(path: Path, obj: Any): Unit = {
+    Files.createDirectories(path.getParent)
+    val tmp = path.resolveSibling(path.getFileName.toString + ".tmp")
+    val json = obj match {
+      case m: PartitionMeta =>
+        val node = mapper.createObjectNode()
+        node.put("stage", m.stage); node.put("partition", m.partition)
+        node.put("status", m.status); node.put("input_rows", m.input_rows)
+        node.put("output_rows", m.output_rows); node.put("wall_ms", m.wall_ms)
+        node.put("fingerprint", m.fingerprint)
+        mapper.writerWithDefaultPrettyPrinter().writeValueAsString(node)
+      case s: String => s
+    }
+    Files.writeString(tmp, json)
+    Files.move(tmp, path, StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  def readPartitionMeta(path: Path): Option[PartitionMeta] =
+    if (!Files.exists(path)) None
+    else {
+      val n = mapper.readTree(path.toFile)
+      Some(PartitionMeta(n.get("stage").asText, n.get("partition").asInt,
+        n.get("status").asText, n.get("input_rows").asLong,
+        n.get("output_rows").asLong, n.get("wall_ms").asLong,
+        n.get("fingerprint").asText))
+    }
+
+  // ---------------------------------------------------------------- snapshot
+
+  /** Commit `df` as the next snapshot of table `dir`: data to snap-<n>/,
+    * per-partition row counters to _manifest/snap-<n>.json, then CURRENT is
+    * atomically repointed. Readers always see a complete snapshot. */
+  def commitSnapshot(df: DataFrame, dir: String, stage: String): Unit = {
+    val base = Paths.get(dir)
+    Files.createDirectories(base)
+    val n = nextSnapshotId(base)
+    val snapDir = base.resolve(f"snap-$n%05d")
+    df.write.mode("overwrite").parquet(snapDir.toString)
+    // per-partition lineage: rows per written file (parquet footer metadata)
+    val spark = df.sparkSession
+    val perFile = spark.read.parquet(snapDir.toString)
+      .groupBy(input_file_name().as("file")).agg(count(lit(1)).as("rows"))
+      .collect().map(r => r.getString(0).split('/').last -> r.getLong(1))
+      .sortBy(_._1)
+    val node = mapper.createObjectNode()
+    node.put("stage", stage); node.put("snapshot", n)
+    node.put("total_rows", perFile.map(_._2).sum)
+    val parts = node.putObject("partitions")
+    perFile.foreach { case (f, r) => parts.put(f, r) }
+    writeJsonAtomic(base.resolve("_manifest").resolve(f"snap-$n%05d.json"),
+      mapper.writerWithDefaultPrettyPrinter().writeValueAsString(node))
+    writeJsonAtomic(base.resolve("CURRENT"), f"snap-$n%05d")
+  }
+
+  private def nextSnapshotId(base: Path): Int = {
+    val existing = if (Files.exists(base)) Files.list(base).iterator().asScala
+      .map(_.getFileName.toString).filter(_.startsWith("snap-"))
+      .map(_.stripPrefix("snap-").toInt).toSeq
+    else Seq.empty
+    if (existing.isEmpty) 0 else existing.max + 1
+  }
+
+  def currentSnapshot(dir: String): Option[String] = {
+    val cur = Paths.get(dir, "CURRENT")
+    if (Files.exists(cur)) Some(Files.readString(cur).trim) else None
+  }
+
+  def readCurrent(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(
+      Paths.get(dir, currentSnapshot(dir).getOrElse(
+        throw new IllegalStateException(s"no CURRENT snapshot in $dir"))).toString)
+
+  // ------------------------------------------------------- bucketed staging
+
+  /** Run a stage with **bucket-granular resume**. The input must be a
+    * directory parquet-partitioned by `bucket=<b>` (see [[bucketize]]); each
+    * bucket is transformed and committed independently (data dir rename +
+    * manifest write), several buckets in flight at once as concurrent Spark
+    * jobs. On re-run, buckets whose manifest says `committed` with a matching
+    * fingerprint are skipped — the reference's cache-hit short-circuit
+    * (llm.go:61-68) at partition granularity. */
+  def runBucketed(
+      spark: SparkSession,
+      stage: String,
+      inputDir: String,
+      stageDir: String,
+      nBuckets: Int,
+      concurrency: Int = 4)(transform: DataFrame => DataFrame): DataFrame = {
+    val base = Paths.get(stageDir)
+    Files.createDirectories(base.resolve("data"))
+    val manifestDir = base.resolve("_manifest")
+    Files.createDirectories(manifestDir)
+
+    import java.util.concurrent.Executors
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    val pool = Executors.newFixedThreadPool(math.max(1, concurrency))
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try {
+      val futures = (0 until nBuckets).map { b =>
+        Future {
+          val mPath = manifestDir.resolve(f"bucket-$b%04d.json")
+          val fp = s"$inputDir#bucket=$b"
+          val done = readPartitionMeta(mPath).exists(m =>
+            m.status == "committed" && m.fingerprint == fp)
+          if (!done) {
+            val t0 = System.nanoTime()
+            val in = spark.read.parquet(s"$inputDir/bucket=$b")
+            val inRows = in.count()
+            val out = transform(in)
+            val tmp = base.resolve(f"tmp-$b%04d")
+            out.write.mode("overwrite").parquet(tmp.toString)
+            val outRows = spark.read.parquet(tmp.toString).count()
+            val dataDir = base.resolve("data").resolve(s"bucket=$b")
+            if (Files.exists(dataDir))
+              Files.walk(dataDir).sorted(java.util.Comparator.reverseOrder())
+                .forEach(p => Files.delete(p))
+            Files.move(tmp, dataDir, StandardCopyOption.ATOMIC_MOVE)
+            val ms = (System.nanoTime() - t0) / 1000000
+            writeJsonAtomic(mPath,
+              PartitionMeta(stage, b, "committed", inRows, outRows, ms, fp))
+            true
+          } else false
+        }
+      }
+      Await.result(Future.sequence(futures), Duration.Inf)
+    } finally pool.shutdown()
+    spark.read.option("basePath", base.resolve("data").toString)
+      .parquet((0 until nBuckets).map(b => base.resolve("data").resolve(s"bucket=$b").toString): _*)
+  }
+
+  /** Ingest step: cluster the input by bucket for partition-pruned bucketed
+    * stages. `repartitionByRange` on (bucket, doc_id) gives stable, balanced,
+    * doc_id-clustered files (north_star's explicit repartitionByRange). */
+  def bucketize(df: DataFrame, keyCol: String, nBuckets: Int, outDir: String): Unit = {
+    df.withColumn("bucket", pmod(xxhash64(col(keyCol)), lit(nBuckets)))
+      .repartitionByRange(nBuckets, col("bucket"), col(keyCol))
+      .write.mode("overwrite").partitionBy("bucket").parquet(outDir)
+  }
+}
