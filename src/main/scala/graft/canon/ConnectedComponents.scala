@@ -59,8 +59,9 @@ object ConnectedComponents {
         .distinct()
         .localCheckpoint()
 
+      // overflow-free, order-insensitive fingerprint (edges are distinct)
       val fp = small.agg(
-        coalesce(sum(xxhash64(col("u"), col("v"))), lit(0L)).as("h"),
+        coalesce(expr("bit_xor(xxhash64(u, v))"), lit(0L)).as("h"),
         count(lit(1)).as("c")).collect()(0)
       val cur = (fp.getLong(0), fp.getLong(1))
       converged = cur == prevFp
