@@ -1,0 +1,103 @@
+package graft
+
+import graft.corpus.{DeterministicCorpus, Golden}
+import graft.extract.Extract
+import graft.model.Doc
+import graft.run.Pipeline
+import graft.tables.TableIO
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Paths}
+
+/** Deterministic fixture tables for the driver's Verify/DuckDB correctness
+  * gate. For a given sf dir (scale knob only — the driver's TPC-H tables
+  * don't have the input_hint span shape, so the corpus is synthesized per
+  * FIXTURES.md), this materializes under a FIXED path
+  * `/root/repo/target/graftdata/<sfBase>`:
+  *
+  *   docs/          bucketized pipeline input (partitioned by bucket)
+  *   docs_flat/     same corpus, flat parquet for the DuckDB oracle
+  *   aliases/       alias dictionary (incl. alias_regex for the oracle)
+  *   nodes_flat/ edges_flat/ triples_flat/   pipeline outputs
+  *   mentions_flat/ all boundary-valid mentions (doc_id, span_idx, surface)
+  *   candidates/    validity-filter fixture names
+  *   dirty_nodes/ dirty_edges/   cleanup fixture with planted orphans
+  */
+object Fixtures {
+
+  val Root = "/root/repo/target/graftdata"
+
+  def scaleDocs(sfDir: String): Long = {
+    val base = Paths.get(sfDir).getFileName.toString
+    base match {
+      case "sf0.001" => 220L
+      case "sf0.01"  => 2000L
+      case "sf0.1"   => 20000L
+      case _         => 500L
+    }
+  }
+
+  def root(sfDir: String): String =
+    s"$Root/${Paths.get(sfDir).getFileName.toString}"
+
+  /** Validity-filter fixture: reference-derived valid + invalid names. */
+  val CandidateNames: Seq[String] = Seq(
+    "Machine Learning", "Theory of Mind", "abc", "big data trends",
+    "Human-Computer Interaction", "Named Entity Recognition (NER)",
+    "", "ab", "AI", "Xq#z", "a(b)", "semi;colon", "under_score",
+    "Qzw Vbn Mlk Jhg", "Quantum Flux Hyper", "Data Science",
+    "Very long but Fine name", "x".repeat(2), "Gradient Descent")
+
+  def ensure(spark: SparkSession, sfDir: String): String = synchronized {
+    val r = root(sfDir)
+    val ready = Paths.get(r, "_READY")
+    if (Files.exists(ready)) return r
+    import spark.implicits._
+
+    val conf = Pipeline.Conf(workDir = r, nDocs = scaleDocs(sfDir),
+      nBuckets = 8, concurrency = 4)
+    val out = Pipeline.run(spark, conf)
+
+    // flat copies for the DuckDB oracle
+    out.docs.drop("bucket").coalesce(4).write.mode("overwrite").parquet(s"$r/docs_flat")
+    out.nodes.coalesce(1).write.mode("overwrite").parquet(s"$r/nodes_flat")
+    out.edges.coalesce(1).write.mode("overwrite").parquet(s"$r/edges_flat")
+    out.triplesView.coalesce(1).write.mode("overwrite").parquet(s"$r/triples_flat")
+
+    // mention table (all boundary-valid hits — regex-join-reproducible)
+    val aliases = spark.read.parquet(Pipeline.aliasesPath(conf))
+    val dict = Extract.broadcastDict(spark, aliases.select("alias").as[String].collect())
+    Extract.mentionsAll(out.docs.drop("bucket").as[Doc], dict).toDF()
+      .select("doc_id", "span_idx", "surface")
+      .distinct()
+      .coalesce(1).write.mode("overwrite").parquet(s"$r/mentions_flat")
+
+    CandidateNames.toDF("name").coalesce(1)
+      .write.mode("overwrite").parquet(s"$r/candidates")
+
+    // cleanup fixture: valid graph + planted empty-pred edges + orphan nodes
+    val dirtyNodes = out.nodes.select("node_id", "name")
+      .unionByName(Seq((900001L, "Orphan One"), (900002L, "Orphan Two"))
+        .toDF("node_id", "name"))
+    val dirtyEdges = out.edges.select("src_id", "dst_id", "pred")
+      .unionByName(Seq((1L, 2L, ""), (3L, 4L, "  ")).toDF("src_id", "dst_id", "pred"))
+    dirtyNodes.coalesce(1).write.mode("overwrite").parquet(s"$r/dirty_nodes")
+    dirtyEdges.coalesce(1).write.mode("overwrite").parquet(s"$r/dirty_edges")
+
+    Files.writeString(ready, "ok")
+    r
+  }
+
+  def docsFlat(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(s"${ensure(spark, sfDir)}/docs_flat")
+  def aliasesDf(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(s"${ensure(spark, sfDir)}/aliases")
+  def nodesFlat(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(s"${ensure(spark, sfDir)}/nodes_flat")
+  def edgesFlat(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(s"${ensure(spark, sfDir)}/edges_flat")
+  def triplesFlat(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(s"${ensure(spark, sfDir)}/triples_flat")
+  def mentionsFlat(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(s"${ensure(spark, sfDir)}/mentions_flat")
+}

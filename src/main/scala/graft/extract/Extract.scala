@@ -51,6 +51,24 @@ object Extract extends Serializable {
     }
   }
 
+  /** All boundary-valid dictionary hits (no leftmost-longest suppression) —
+    * the mention-table surface whose semantics a relational engine can
+    * reproduce with a word-boundary regex join. */
+  def mentionsAll(docs: Dataset[Doc], dict: Broadcast[AhoCorasick]): Dataset[Mention] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.mapPartitions { it =>
+      val ac = dict.value
+      it.flatMap { d =>
+        d.spans.iterator.zipWithIndex.flatMap { case (sp, idx) =>
+          if (sp.kind != "text") Iterator.empty
+          else ac.findAll(sp.text).iterator.map(h =>
+            Mention(d.doc_id, idx, h.start, h.end, h.surface, h.surface))
+        }
+      }
+    }
+  }
+
   /** Raw triple extraction over a Dataset[Doc]. */
   def rawTriples(
       docs: Dataset[Doc],

@@ -1,0 +1,153 @@
+package graft.graph
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The reference's read/ops API re-expressed as one-line DataFrame queries
+  * (SURVEY.md §3.3): frontend handlers
+  * (/root/reference/kg-frontend/src/handlers/{graph,statistics,concepts}.go),
+  * builder statistics (kg-builder/cmd/kg-builder/main.go:178-193) and the
+  * enricher's candidate-pair generation
+  * (kg-enricher/internal/neo4j/neo4j.go:304-350).
+  *
+  * All "random" sampling is hash-ordered (md5) instead of ORDER BY rand():
+  * deterministic across engines and runs — the seeded-rand requirement.
+  */
+object KgQueries {
+
+  /** F5: concept-name projection (RETURN c.name). */
+  def conceptNames(nodes: DataFrame): DataFrame =
+    nodes.select(col("canonical_name").as("name")).distinct().orderBy("name")
+
+  /** F7: substring search, LIMIT 10 (ordered for determinism). */
+  def search(nodes: DataFrame, q: String, limit: Int = 10): DataFrame =
+    nodes.filter(col("name").contains(q)).select("name")
+      .orderBy("name").limit(limit)
+
+  /** A1: graph statistics (node count, relationship count). */
+  def statistics(nodes: DataFrame, edges: DataFrame): DataFrame = {
+    val n = nodes.agg(count(lit(1)).as("node_count"))
+    val e = edges.agg(count(lit(1)).as("relationship_count"))
+    n.crossJoin(e)
+  }
+
+  /** A2: degree (in+out) per node. */
+  def degree(nodes: DataFrame, edges: DataFrame): DataFrame = {
+    val d = edges.select(col("src_id").as("node_id"))
+      .unionAll(edges.select(col("dst_id").as("node_id")))
+      .groupBy("node_id").agg(count(lit(1)).as("degree"))
+    nodes.select("node_id", "name").join(d, Seq("node_id"), "left")
+      .withColumn("degree", coalesce(col("degree"), lit(0L)))
+  }
+
+  /** A3: low-connectivity top-k (ORDER BY connectivity ASC LIMIT k). */
+  def lowConnectivity(nodes: DataFrame, edges: DataFrame, k: Int = 10): DataFrame =
+    degree(nodes, edges).orderBy(col("degree").asc, col("name").asc).limit(k)
+
+  /** A4: most-connected top-k (stats dashboard top-5). */
+  def mostConnected(nodes: DataFrame, edges: DataFrame, k: Int = 5): DataFrame =
+    degree(nodes, edges).orderBy(col("degree").desc, col("name").asc).limit(k)
+
+  /** A6: relationship-type histogram. */
+  def predHistogram(edges: DataFrame): DataFrame =
+    edges.groupBy("pred_norm").agg(count(lit(1)).as("n")).orderBy("pred_norm")
+
+  /** J1: ConceptExists as a left-semi join. */
+  def existingConcepts(candidates: DataFrame, nodes: DataFrame): DataFrame =
+    candidates.join(nodes.select(col("name")), Seq("name"), "left_semi")
+
+  /** J4: deterministic non-adjacent candidate pairs — the enricher's random
+    * pair generation, sample-first to avoid a full cartesian, hash-ordered
+    * instead of ORDER BY rand(). Excludes existing edges in either
+    * direction via a left-anti join on the normalized (least, greatest) key. */
+  def nonAdjacentPairs(nodes: DataFrame, edges: DataFrame, n: Int): DataFrame = {
+    val ids = nodes.select(col("node_id"), col("name"))
+    val a = ids.select(col("node_id").as("a_id"), col("name").as("a"))
+    val b = ids.select(col("node_id").as("b_id"), col("name").as("b"))
+    val pairs = a.crossJoin(b).filter(col("a_id") < col("b_id"))
+    val existing = edges.select(
+      least(col("src_id"), col("dst_id")).as("a_id"),
+      greatest(col("src_id"), col("dst_id")).as("b_id")).distinct()
+    pairs.join(existing, Seq("a_id", "b_id"), "left_anti")
+      .withColumn("pick", md5(concat_ws("|", col("a"), col("b"))))
+      .orderBy("pick").limit(n)
+      .select("a", "b")
+  }
+
+  /** Doc-level co-occurrence of canonical entities — the deterministic
+    * evidence source for enrichment (replaces the reference's LLM pair
+    * mining, X2). mentionsCanon: (doc_id, canonical). */
+  def cooccurrence(mentionsCanon: DataFrame): DataFrame = {
+    val m = mentionsCanon.select("doc_id", "canonical").distinct()
+    val l = m.select(col("doc_id"), col("canonical").as("a"))
+    val r = m.select(col("doc_id"), col("canonical").as("b"))
+    l.join(r, Seq("doc_id")).filter(col("a") < col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("n_docs"))
+  }
+
+  /** G6/G7 RunOnce: enrich the graph with CoOccursWith edges for the top
+    * non-adjacent co-occurring pairs (threshold on doc evidence). */
+  def enrichOnce(nodes: DataFrame, edges: DataFrame, mentionsCanon: DataFrame,
+      minDocs: Long, maxNew: Int): DataFrame = {
+    val co = cooccurrence(mentionsCanon).filter(col("n_docs") >= minDocs)
+    val ids = nodes.select(col("name"), col("node_id"))
+    val withIds = co
+      .join(ids.withColumnRenamed("name", "a").withColumnRenamed("node_id", "a_id"), Seq("a"))
+      .join(ids.withColumnRenamed("name", "b").withColumnRenamed("node_id", "b_id"), Seq("b"))
+    val existing = edges.select(
+      least(col("src_id"), col("dst_id")).as("k1"),
+      greatest(col("src_id"), col("dst_id")).as("k2")).distinct()
+    withIds
+      .withColumn("k1", least(col("a_id"), col("b_id")))
+      .withColumn("k2", greatest(col("a_id"), col("b_id")))
+      .join(existing, Seq("k1", "k2"), "left_anti")
+      .withColumn("pick", md5(concat_ws("|", col("a"), col("b"))))
+      .orderBy(col("n_docs").desc, col("pick").asc).limit(maxNew)
+      .select(col("a_id").as("src_id"), col("b_id").as("dst_id"),
+        lit("CoOccursWith").as("pred"), lit("cooccurswith").as("pred_norm"),
+        round(lit(1.0) - lit(1.0) / (col("n_docs") + 1), 6).as("strength"),
+        col("n_docs"))
+  }
+
+  /** S13: manual edge creation by node id (REST POST /api/relationships). */
+  def addEdge(edges: DataFrame, srcId: Long, dstId: Long, pred: String): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val row = Seq((srcId, dstId, pred)).toDF("src_id", "dst_id", "pred")
+      .withColumn("pred_norm", Materialize.normPred(col("pred")))
+      .withColumn("strength", lit(1.0))
+      .withColumn("n_obs", lit(1L))
+      .withColumn("provenance", array().cast(edges.schema("provenance").dataType))
+      .withColumn("created_at", Materialize.CreatedAt)
+    edges.unionByName(row)
+      .groupBy("src_id", "dst_id", "pred").agg(
+        first("pred_norm").as("pred_norm"), max("strength").as("strength"),
+        sum("n_obs").as("n_obs"), flatten(collect_list("provenance")).as("provenance"),
+        first("created_at").as("created_at"))
+  }
+
+  /** G8: graph snapshot export (nodes + links, id-addressed). */
+  def graphSnapshot(nodes: DataFrame, edges: DataFrame): (DataFrame, DataFrame) = {
+    val d = degree(nodes, edges).select(col("node_id"), col("degree"))
+    val ns = nodes.join(d, Seq("node_id"), "left")
+      .select(col("node_id").as("id"), col("name"),
+        lit("Concept").as("type"), coalesce(col("degree"), lit(0L)).as("size"))
+    val ls = edges.select(col("src_id").as("source"), col("dst_id").as("target"),
+      col("pred_norm").as("type"))
+    (ns, ls)
+  }
+}
+
+/** G3/G4 as standalone set-oriented cleanup (replaces the reference's
+  * periodic two-pass Cypher deletes,
+  * /root/reference/kg-builder/internal/neo4j/neo4j.go:417-540). */
+object Cleanup {
+  def apply(nodes: DataFrame, edges: DataFrame): (DataFrame, DataFrame) = {
+    val cleanEdges = edges.filter(
+      col("pred").isNotNull && length(trim(col("pred"))) > 0)
+    val touched = cleanEdges.select(col("src_id").as("node_id"))
+      .unionAll(cleanEdges.select(col("dst_id").as("node_id"))).distinct()
+    val cleanNodes = nodes.join(touched, Seq("node_id"), "left_semi")
+    (cleanNodes, cleanEdges)
+  }
+}
