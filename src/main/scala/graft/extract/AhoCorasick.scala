@@ -12,12 +12,17 @@ import scala.collection.mutable
   * Matching is case-sensitive (case variants are separate dictionary entries
   * from the alias table) and word-boundary-gated: a hit is valid only if the
   * characters adjacent to it are non-alphanumeric or absent.
+  *
+  * Transitions for ASCII (<128) are a flat direct-address int array
+  * (nodes × 128) — the scan is a tight array walk, no hashing or boxing on
+  * the hot path; rare non-ASCII chars fall back to per-node hash maps.
   */
 final class AhoCorasick private (
     val patterns: Array[String],
-    children: Array[mutable.HashMap[Char, Int]],
+    ascii: Array[Int],           // [node * 128 + char] -> next node or -1
+    wide: Array[Map[Char, Int]], // non-ASCII children per node
     fail: Array[Int],
-    outputs: Array[List[Int]]) extends Serializable {
+    outputs: Array[Array[Int]]) extends Serializable {
 
   /** [start, end) span of `patterns(patIdx)` in the searched text. */
   final case class Hit(start: Int, end: Int, patIdx: Int) {
@@ -26,6 +31,17 @@ final class AhoCorasick private (
 
   @inline private def isWord(c: Char): Boolean = Character.isLetterOrDigit(c)
 
+  @inline private def child(s: Int, c: Char): Int =
+    if (c < 128) ascii(s * 128 + c)
+    else wide(s).getOrElse(c, -1)
+
+  @inline private def step(state: Int, c: Char): Int = {
+    var s = state
+    var nxt = child(s, c)
+    while (nxt < 0 && s != 0) { s = fail(s); nxt = child(s, c) }
+    if (nxt < 0) 0 else nxt
+  }
+
   /** All word-boundary-valid hits, in text order. */
   def findAll(text: String): Vector[Hit] = {
     val out = Vector.newBuilder[Hit]
@@ -33,19 +49,19 @@ final class AhoCorasick private (
     var i = 0
     val n = text.length
     while (i < n) {
-      val c = text.charAt(i)
-      var s = state
-      while (s != 0 && !children(s).contains(c)) s = fail(s)
-      state = children(s).getOrElse(c, 0)
-      var o = outputs(state)
-      while (o.nonEmpty) {
-        val patIdx = o.head
-        val start = i + 1 - patterns(patIdx).length
-        val end = i + 1
-        val okLeft = start == 0 || !isWord(text.charAt(start - 1))
-        val okRight = end == n || !isWord(text.charAt(end))
-        if (okLeft && okRight) out += Hit(start, end, patIdx)
-        o = o.tail
+      state = step(state, text.charAt(i))
+      val os = outputs(state)
+      if (os.length > 0) {
+        var j = 0
+        while (j < os.length) {
+          val patIdx = os(j)
+          val start = i + 1 - patterns(patIdx).length
+          val end = i + 1
+          val okLeft = start == 0 || !isWord(text.charAt(start - 1))
+          val okRight = end == n || !isWord(text.charAt(end))
+          if (okLeft && okRight) out += Hit(start, end, patIdx)
+          j += 1
+        }
       }
       i += 1
     }
@@ -65,13 +81,7 @@ final class AhoCorasick private (
   def contains(s: String): Boolean = {
     var state = 0
     var i = 0
-    while (i < s.length) {
-      val c = s.charAt(i)
-      var st = state
-      while (st != 0 && !children(st).contains(c)) st = fail(st)
-      state = children(st).getOrElse(c, 0)
-      i += 1
-    }
+    while (i < s.length) { state = step(state, s.charAt(i)); i += 1 }
     outputs(state).exists(p => patterns(p).length == s.length)
   }
 }
@@ -81,7 +91,6 @@ object AhoCorasick {
     val patterns = patternsIn.toArray.distinct.filter(_.nonEmpty)
     val children = mutable.ArrayBuffer(mutable.HashMap.empty[Char, Int])
     val outputsB = mutable.ArrayBuffer(List.empty[Int])
-    // goto trie
     patterns.zipWithIndex.foreach { case (p, pi) =>
       var node = 0
       p.foreach { c =>
@@ -93,8 +102,8 @@ object AhoCorasick {
       }
       outputsB(node) = pi :: outputsB(node)
     }
-    // failure links (BFS)
-    val fail = Array.fill(children.length)(0)
+    val n = children.length
+    val fail = Array.fill(n)(0)
     val queue = mutable.Queue.empty[Int]
     children(0).valuesIterator.foreach(queue.enqueue(_))
     while (queue.nonEmpty) {
@@ -107,6 +116,16 @@ object AhoCorasick {
         outputsB(v) = outputsB(v) ++ outputsB(fail(v))
       }
     }
-    new AhoCorasick(patterns, children.toArray, fail, outputsB.toArray)
+    val ascii = Array.fill(n * 128)(-1)
+    val wide = Array.fill[Map[Char, Int]](n)(Map.empty)
+    var i = 0
+    while (i < n) {
+      children(i).foreach { case (c, v) =>
+        if (c < 128) ascii(i * 128 + c) = v
+        else wide(i) = wide(i) + (c -> v)
+      }
+      i += 1
+    }
+    new AhoCorasick(patterns, ascii, wide, fail, outputsB.map(_.toArray).toArray)
   }
 }

@@ -1,0 +1,89 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.Collect
+import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.catalyst.util.{GenericArrayData, TypeUtils}
+import org.apache.spark.sql.graft.Bridge
+import org.apache.spark.sql.types.DataType
+import scala.collection.mutable
+
+/** Bounded deterministic collect: keeps the `limit` SMALLEST elements by the
+  * element type's natural ordering — a custom Catalyst aggregate
+  * (TypedImperativeAggregate via Spark's `Collect` base).
+  *
+  * Why a custom aggregate: materializing edge provenance needs "K exemplar
+  * (doc_id, span_idx, media_ref) refs per edge", but built-in
+  * `slice(collect_list(x), 1, k)` collects EVERY row into the aggregation
+  * buffer before slicing — on a hub edge with millions of observations the
+  * buffer explodes (memory + shuffle), and the kept subset depends on task
+  * scheduling. Here `update` and `merge` are bounded everywhere (map-side
+  * partials, shuffle, final merge) and the result is a pure function of the
+  * grouped data: the K order-smallest elements, sorted. */
+case class BoundedCollectList(
+    child: Expression,
+    limit: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends Collect[mutable.ArrayBuffer[Any]] with UnaryLike[Expression] {
+
+  require(limit > 0, "limit must be positive")
+
+  @transient private lazy val ordering: Ordering[Any] =
+    TypeUtils.getInterpretedOrdering(child.dataType)
+
+  override def createAggregationBuffer(): mutable.ArrayBuffer[Any] =
+    mutable.ArrayBuffer.empty
+
+  override protected def convertToBufferElement(value: Any): Any =
+    InternalRow.copyValue(value)
+
+  override protected lazy val bufferElementType: DataType = child.dataType
+
+  private def add(buffer: mutable.ArrayBuffer[Any], v: Any): mutable.ArrayBuffer[Any] = {
+    if (buffer.length < limit) buffer += v
+    else {
+      // replace the current maximum if the new element sorts below it
+      var maxI = 0
+      var i = 1
+      while (i < buffer.length) {
+        if (ordering.compare(buffer(i), buffer(maxI)) > 0) maxI = i
+        i += 1
+      }
+      if (ordering.compare(v, buffer(maxI)) < 0) buffer(maxI) = v
+      buffer
+    }
+  }
+
+  override def update(buffer: mutable.ArrayBuffer[Any], input: InternalRow): mutable.ArrayBuffer[Any] = {
+    val value = child.eval(input)
+    if (value != null) add(buffer, convertToBufferElement(value)) else buffer
+  }
+
+  override def merge(buffer: mutable.ArrayBuffer[Any], other: mutable.ArrayBuffer[Any]): mutable.ArrayBuffer[Any] = {
+    var i = 0
+    while (i < other.length) { add(buffer, other(i)); i += 1 }
+    buffer
+  }
+
+  override def eval(buffer: mutable.ArrayBuffer[Any]): Any =
+    new GenericArrayData(buffer.toArray.sorted(ordering))
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): BoundedCollectList =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): BoundedCollectList =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): BoundedCollectList =
+    copy(child = newChild)
+  override def prettyName: String = "bounded_collect_list"
+}
+
+object BoundedCollectList {
+  /** Column API: `bounded_collect_list(struct(...), k)`. */
+  def bounded_collect_list(c: Column, limit: Int): Column =
+    Bridge.column(
+      BoundedCollectList(Bridge.expression(c), limit)
+        .toAggregateExpression())
+}

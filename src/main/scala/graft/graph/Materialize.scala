@@ -1,6 +1,7 @@
 package graft.graph
 
 import graft.canon.ConnectedComponents
+import graft.functions.BoundedCollectList.bounded_collect_list
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -14,13 +15,16 @@ import org.apache.spark.sql.functions._
   *   /root/reference/internal/common/neo4j/neo4j.go:386-451) always elects a
   *   grounded representative when one exists.
   * - duplicate canonicalization: equivalence edges between names sharing a
-  *   normalized form, closed transitively by ConnectedComponents.
+  *   normalized form, closed transitively — iterative DataFrame CC at scale,
+  *   driver union-find when the equivalence set is dictionary-sized.
   * - edge materialization: MERGE-by-key semantics (S11: key (src,dst,pred))
-  *   as a **two-phase salted aggregation** — per-(key,salt) partial counts +
-  *   capped provenance, then final merge — so hub triples at web scale don't
-  *   straggle a single reducer or blow memory on collect_list.
+  *   as ONE hash aggregate whose per-group state is bounded: count/sum are
+  *   map-side combined, and provenance exemplars use the custom
+  *   [[graft.functions.BoundedCollectList]] aggregate, so hub edges at web
+  *   scale can't blow an aggregation buffer or skew a reducer with giant
+  *   arrays (the buffer is capped on the map side too).
   * - cleanup: empty-predicate edges (G3) are filtered upstream; orphan nodes
-  *   (G4) dropped with a left-semi join.
+  *   (G4) dropped with a left-semi join against the materialized edges.
   */
 object Materialize {
 
@@ -28,7 +32,6 @@ object Materialize {
   val CreatedAt: Column = to_timestamp(lit("2026-01-01 00:00:00"))
 
   val ProvenanceCap = 24
-  val Salts = 16
 
   def normName(c: Column): Column = lower(regexp_replace(trim(c), " +", " "))
 
@@ -44,14 +47,14 @@ object Materialize {
 
   final case class Graph(nodes: DataFrame, edges: DataFrame)
 
-  /** @param linked  (doc_id, span_idx, subj, pred, obj, media_ref, score)
-    * @param aliases (alias, canonical, prior)
-    */
-  def build(spark: SparkSession, linked: DataFrame, aliases: DataFrame): Graph = {
+  /** The canonicalization map: one row per distinct raw name →
+    * (name, rep_id, rep_name). Small (dictionary-scale), localCheckpointed. */
+  def canonicalize(spark: SparkSession, linked: DataFrame, aliases: DataFrame): DataFrame = {
     val canonSet = aliases.select(col("canonical").as("gname")).distinct()
 
-    val names = linked.select(col("subj").as("name"))
-      .union(linked.select(col("obj").as("name"))).distinct()
+    // one scan: both endpoint columns exploded together
+    val names = linked
+      .select(explode(array(col("subj"), col("obj"))).as("name")).distinct()
     val withId = names
       .join(broadcast(canonSet), col("name") === col("gname"), "left")
       .withColumn("grounded", col("gname").isNotNull).drop("gname")
@@ -59,8 +62,7 @@ object Materialize {
       .localCheckpoint()
 
     // equivalence edges: same normalized name → star to the group min id;
-    // ConnectedComponents closes transitive chains (e.g. via future linker
-    // same-entity verdicts) and keeps the lowest id per component.
+    // transitive closure (e.g. future linker same-entity verdicts) via CC.
     val grp = withId.groupBy(normName(col("name")).as("nk"))
       .agg(min(col("node_id")).as("root"), count(lit(1)).as("n"))
       .filter(col("n") > 1)
@@ -69,50 +71,74 @@ object Materialize {
       .filter(col("node_id") =!= col("root"))
       .select(col("node_id").as("src"), col("root").as("dst"))
 
-    val comp = ConnectedComponents.assign(spark, withId.select("node_id"), eqEdges)
+    // the iterative DataFrame CC is the scale path; a dictionary-sized
+    // equivalence set (the common case) collapses on the driver instead of
+    // paying several shuffle rounds of scheduler latency.
+    val eqLocal = eqEdges.limit(10001).collect()
+    val comp =
+      if (eqLocal.length <= 10000) {
+        val parent = scala.collection.mutable.Map.empty[Long, Long]
+        def find(x: Long): Long = {
+          val p = parent.getOrElse(x, x)
+          if (p == x) x else { val r = find(p); parent(x) = r; r }
+        }
+        eqLocal.foreach { r =>
+          val (a, b) = (find(r.getLong(0)), find(r.getLong(1)))
+          if (a != b) parent(math.max(a, b)) = math.min(a, b)
+        }
+        import spark.implicits._
+        val mapping = parent.keys.map(k => (k, find(k))).toSeq.toDF("node_id", "component")
+        withId.select("node_id").join(broadcast(mapping), Seq("node_id"), "left")
+          .select(col("node_id"), coalesce(col("component"), col("node_id")).as("component"))
+      } else ConnectedComponents.assign(spark, withId.select("node_id"), eqEdges)
+
     val canonMap = withId.join(comp, "node_id")
     val repNames = canonMap.filter(col("node_id") === col("component"))
       .select(col("component").as("rep_id"), col("name").as("rep_name"))
-    val resolve = canonMap.join(repNames, col("component") === col("rep_id"))
+    canonMap.join(repNames, col("component") === col("rep_id"))
       .select(col("name"), col("rep_id"), col("rep_name"))
       .localCheckpoint() // small: one row per distinct raw name
+  }
 
-    // remap endpoints to canonical representatives (broadcast: name dictionary)
-    val subjMap = resolve.select(col("name").as("subj"),
-      col("rep_id").as("src_id"), col("rep_name").as("subj_name"))
-    val objMap = resolve.select(col("name").as("obj"),
-      col("rep_id").as("dst_id"), col("rep_name").as("obj_name"))
-    val remapped = linked
+  /** Edge materialization: remap endpoints through the (broadcast) resolve
+    * map, then a single bounded hash aggregate per (src,dst,pred). */
+  def buildEdges(linked: DataFrame, resolve: DataFrame): DataFrame = {
+    val subjMap = resolve.select(col("name").as("subj"), col("rep_id").as("src_id"))
+    val objMap = resolve.select(col("name").as("obj"), col("rep_id").as("dst_id"))
+    linked
       .join(broadcast(subjMap), Seq("subj"))
       .join(broadcast(objMap), Seq("obj"))
-
-    // two-phase salted MERGE (S11): (key, salt) partials → key merge
-    val partial = remapped
-      .withColumn("salt", pmod(xxhash64(col("doc_id")), lit(Salts)))
-      .groupBy(col("src_id"), col("dst_id"), col("pred"), col("salt"))
-      .agg(count(lit(1)).as("cnt"), sum(col("score")).as("score_sum"),
-        slice(collect_list(struct(col("doc_id"), col("span_idx"), col("media_ref"))),
-          1, ProvenanceCap / 4).as("prov_part"))
-    val edges = partial
       .groupBy(col("src_id"), col("dst_id"), col("pred"))
-      .agg(sum(col("cnt")).as("n_obs"), sum(col("score_sum")).as("score_sum"),
-        slice(flatten(collect_list(col("prov_part"))), 1, ProvenanceCap).as("provenance"))
+      .agg(
+        count(lit(1)).as("n_obs"),
+        sum(col("score")).as("score_sum"),
+        bounded_collect_list(
+          struct(col("doc_id"), col("span_idx"), col("media_ref")),
+          ProvenanceCap).as("provenance"))
       .withColumn("pred_norm", normPred(col("pred")))
       .withColumn("strength", round(col("score_sum") / col("n_obs"), 6))
       .withColumn("created_at", CreatedAt)
       .select("src_id", "dst_id", "pred", "pred_norm", "strength", "n_obs",
         "provenance", "created_at")
+  }
 
-    // nodes = component representatives; G4: drop orphans (degree 0)
-    val touched = edges.select(col("src_id").as("node_id"))
-      .union(edges.select(col("dst_id").as("node_id"))).distinct()
-    val nodes = repNames
-      .select(col("rep_id").as("node_id"), col("rep_name").as("name"),
-        col("rep_name").as("canonical_name"))
+  /** Node table from component representatives; G4 orphan drop against the
+    * MATERIALIZED edges (no recompute of the edge aggregate). */
+  def buildNodes(resolve: DataFrame, edgesT: DataFrame): DataFrame = {
+    val touched = edgesT.select(col("src_id").as("node_id"))
+      .union(edgesT.select(col("dst_id").as("node_id"))).distinct()
+    resolve.select(col("rep_id").as("node_id"), col("rep_name").as("name"))
+      .distinct()
+      .withColumn("canonical_name", col("name"))
       .withColumn("created_at", CreatedAt)
       .join(touched, Seq("node_id"), "left_semi")
+  }
 
-    Graph(nodes, edges)
+  /** Legacy single-call build (tests / small corpora). */
+  def build(spark: SparkSession, linked: DataFrame, aliases: DataFrame): Graph = {
+    val resolve = canonicalize(spark, linked, aliases)
+    val edges = buildEdges(linked, resolve).localCheckpoint()
+    Graph(buildNodes(resolve, edges), edges)
   }
 
   /** The canonical triple read used for P/R comparison (F6 — mirrors

@@ -46,15 +46,22 @@ object EntityLink {
       .filter(Validity.validPred(col("pred")))
       .withColumn("triple_id", xxhash64(col("doc_id"), col("span_idx")))
 
-    val counts = aliases.groupBy("alias").agg(countDistinct("canonical").as("n"))
-    val uniqueAliases = aliases.join(counts.filter(col("n") === 1), Seq("alias"), "left_semi")
-      .select("alias", "canonical", "prior")
-    val ambiguous = aliases.join(counts.filter(col("n") > 1), Seq("alias"), "left_semi")
-      .select("alias", "canonical", "prior")
+    // the alias table is dictionary-sized (broadcast side by design): split
+    // unique vs ambiguous on the driver — one collect instead of three
+    // aggregate jobs per run
+    val aliasRows = aliases.select("alias", "canonical", "prior")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
+    val ambiguousAliases = aliasRows.groupBy(_._1)
+      .filter(_._2.map(_._2).distinct.length > 1).keySet
+    val sparkS = raw.sparkSession
+    import sparkS.implicits._
+    val uniqueAliases = aliasRows.filter(r => !ambiguousAliases.contains(r._1))
+      .toSeq.toDF("alias", "canonical", "prior")
+    val ambiguous = aliasRows.filter(r => ambiguousAliases.contains(r._1))
+      .toSeq.toDF("alias", "canonical", "prior")
 
-    val ambCount = ambiguous.limit(1).count()
     val (docVec, docNorm) =
-      if (ambCount > 0) docTermVectors(docsText) else (null, null)
+      if (ambiguousAliases.nonEmpty) docTermVectors(docsText) else (null, null)
 
     val s1 = linkSimple(triples, uniqueAliases, ambiguous, docVec, docNorm, "subj")
     val s2 = linkSimple(s1, uniqueAliases, ambiguous, docVec, docNorm, "obj")

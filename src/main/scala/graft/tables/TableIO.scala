@@ -62,12 +62,9 @@ object TableIO {
     val n = nextSnapshotId(base)
     val snapDir = base.resolve(f"snap-$n%05d")
     df.write.mode("overwrite").parquet(snapDir.toString)
-    // per-partition lineage: rows per written file (parquet footer metadata)
-    val spark = df.sparkSession
-    val perFile = spark.read.parquet(snapDir.toString)
-      .groupBy(input_file_name().as("file")).agg(count(lit(1)).as("rows"))
-      .collect().map(r => r.getString(0).split('/').last -> r.getLong(1))
-      .sortBy(_._1)
+    // per-partition lineage: row counts straight from parquet footers
+    // (driver-side metadata read — no extra Spark job)
+    val perFile = parquetFileRows(snapDir)
     val node = mapper.createObjectNode()
     node.put("stage", stage); node.put("snapshot", n)
     node.put("total_rows", perFile.map(_._2).sum)
@@ -77,6 +74,23 @@ object TableIO {
       mapper.writerWithDefaultPrettyPrinter().writeValueAsString(node))
     writeJsonAtomic(base.resolve("CURRENT"), f"snap-$n%05d")
   }
+
+  /** (fileName, rowCount) per parquet file in a directory, via footers. */
+  def parquetFileRows(dir: Path): Array[(String, Long)] = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    val conf = new org.apache.hadoop.conf.Configuration()
+    Files.list(dir).iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".parquet"))
+      .map { p =>
+        val r = ParquetFileReader.open(
+          HadoopInputFile.fromPath(new org.apache.hadoop.fs.Path(p.toString), conf))
+        try p.getFileName.toString -> r.getRecordCount finally r.close()
+      }.toArray.sortBy(_._1)
+  }
+
+  def parquetRowCount(dir: String): Long =
+    parquetFileRows(Paths.get(dir)).map(_._2).sum
 
   private def nextSnapshotId(base: Path): Int = {
     val existing = if (Files.exists(base)) Files.list(base).iterator().asScala
@@ -132,11 +146,11 @@ object TableIO {
           if (!done) {
             val t0 = System.nanoTime()
             val in = spark.read.parquet(s"$inputDir/bucket=$b")
-            val inRows = in.count()
+            val inRows = parquetRowCount(s"$inputDir/bucket=$b")
             val out = transform(in)
             val tmp = base.resolve(f"tmp-$b%04d")
             out.write.mode("overwrite").parquet(tmp.toString)
-            val outRows = spark.read.parquet(tmp.toString).count()
+            val outRows = parquetRowCount(tmp.toString)
             val dataDir = base.resolve("data").resolve(s"bucket=$b")
             if (Files.exists(dataDir))
               Files.walk(dataDir).sorted(java.util.Comparator.reverseOrder())
