@@ -84,6 +84,19 @@ object Fixtures {
     dirtyNodes.coalesce(1).write.mode("overwrite").parquet(s"$r/dirty_nodes")
     dirtyEdges.coalesce(1).write.mode("overwrite").parquet(s"$r/dirty_edges")
 
+    // dedup fixture: driver documents + planted exact and near duplicates
+    val docsTbl = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+    val dupBase = docsTbl.filter(col("doc_id") < 5)
+    val exactDups = dupBase.select((col("doc_id") + 9001).as("doc_id"), col("text"))
+    val nearDups = dupBase.select((col("doc_id") + 9101).as("doc_id"),
+      concat_ws(" ", slice(split(trim(col("text")), "\\s+"), 4, 1000000)).as("text"))
+    docsTbl.filter(col("doc_id") < 100).union(exactDups).union(nearDups)
+      .coalesce(1).write.mode("overwrite").parquet(s"$r/dedup_docs")
+    Seq((0L, 9101L), (1L, 9102L), (2L, 9103L), (3L, 9104L), (4L, 9105L), (0L, 1L))
+      .toDF("a", "b")
+      .coalesce(1).write.mode("overwrite").parquet(s"$r/ngram_pairs")
+
     Files.writeString(ready, "ok")
     r
   }

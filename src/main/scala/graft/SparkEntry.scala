@@ -30,7 +30,10 @@ object SparkEntry {
         col("surface") === col("alias"))
       .select("doc_id", "canonical")
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    kgQueries ++ textQueries
+
+  def kgQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // --- end-to-end pipeline (X1-X4, J5, G2, S9-S11, F6) ---
     "q_pipeline_triples" -> ((s, d) =>
       Fixtures.triplesFlat(s, d).orderBy("subj", "pred_norm", "obj")),
@@ -108,6 +111,77 @@ object SparkEntry {
         .orderBy("src_id", "dst_id", "pred_norm"))
   )
 
+  private def documentsDf(s: SparkSession, d: String) =
+    s.read.parquet(s"$d/documents.parquet")
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+  private def dedupDocs(s: SparkSession, d: String) =
+    s.read.parquet(s"${Fixtures.ensure(s, d)}/dedup_docs")
+
+  /** Training-data pipeline operators (dedup / text analysis / ANN /
+    * multimodal plumbing). */
+  def textQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // --- token counting ---
+    "q_token_count" -> ((s, d) =>
+      documentsDf(s, d).select(col("doc_id"),
+        graft.text.TextOps.tokenCount(col("text")).as("n_tokens"))
+        .orderBy("doc_id")),
+    // --- quality scoring ---
+    "q_quality" -> ((s, d) =>
+      graft.text.TextOps.quality(documentsDf(s, d), "doc_id", "text")
+        .orderBy("doc_id")),
+    // --- language-ID heuristic ---
+    "q_lang_guess" -> ((s, d) =>
+      documentsDf(s, d).select(col("doc_id"),
+        graft.text.TextOps.langGuess(col("text")).as("lang_guess"))
+        .orderBy("doc_id")),
+    // --- exact dedup (hash-groupBy) ---
+    "q_exact_dedup" -> ((s, d) =>
+      graft.text.TextOps.exactDupGroups(dedupDocs(s, d), "doc_id", "text")
+        .orderBy("text_md5")),
+    "q_dedup_keep" -> ((s, d) =>
+      graft.text.TextOps.dedupExact(dedupDocs(s, d), "doc_id", "text")
+        .select("doc_id").orderBy("doc_id")),
+    // --- n-gram Jaccard overlap ---
+    "q_ngram_overlap" -> ((s, d) =>
+      graft.text.TextOps.ngramOverlap(dedupDocs(s, d),
+        s.read.parquet(s"${Fixtures.ensure(s, d)}/ngram_pairs"),
+        "doc_id", "text").orderBy("a", "b")),
+    // --- brute-force cosine top-k (exact ANN baseline) ---
+    "q_ann_topk" -> ((s, d) =>
+      graft.sim.Ann.bruteTopK(s.read.parquet(s"$d/embeddings.parquet"),
+        Seq(0L, 1L, 2L, 3L, 4L), 10)
+        .select("query_id", "rank", "vec_id").orderBy("query_id", "rank")),
+    // --- multimodal feature plumbing (deterministic stub decoder) ---
+    "q_media_features" -> ((s, d) =>
+      graft.media.MediaFeatures.extract(Fixtures.docsFlat(s, d))
+        .select("media_ref", "f0", "f1", "f2", "f3", "f4", "f5", "f6", "f7")
+        .distinct().orderBy("media_ref").limit(500)),
+    // --- HAS_MEDIA provenance edges ---
+    "q_media_edges" -> ((s, d) =>
+      graft.media.MediaFeatures.mediaEdges(
+        Fixtures.edgesFlat(s, d), Fixtures.nodesFlat(s, d))
+        .orderBy("node_id", "media_ref").limit(500)),
+    // --- MinHash+LSH near-dup (rows-only oracle: signature kernels are not
+    //     SQL-expressible) ---
+    "q_minhash_pairs" -> ((s, d) =>
+      graft.text.NearDup.minhashDupPairs(dedupDocs(s, d), "doc_id", "text")
+        .select("a", "b").orderBy("a", "b")),
+    // --- SimHash near-dup (rows-only oracle) ---
+    "q_simhash_pairs" -> ((s, d) =>
+      graft.text.NearDup.simhashDupPairs(dedupDocs(s, d), "doc_id", "text")
+        .select("a", "b", "hamming").orderBy("a", "b")),
+    // --- winnowing fingerprints (rows-only oracle) ---
+    "q_fingerprint_counts" -> ((s, d) =>
+      graft.text.NearDup.fingerprints(dedupDocs(s, d), "doc_id", "text")
+        .groupBy("doc_id").agg(countDistinct("fp").as("n_fp"))
+        .orderBy("doc_id")),
+    // --- LSH-bucketed approximate ANN (rows-only oracle) ---
+    "q_ann_lsh" -> ((s, d) =>
+      graft.sim.Ann.lshTopK(s.read.parquet(s"$d/embeddings.parquet"),
+        Seq(0L, 1L, 2L, 3L, 4L), 10, dim = 64)
+        .select("query_id", "rank", "vec_id").orderBy("query_id", "rank"))
+  )
+
   // ----------------------------------------------------------------- oracles
 
   private val aliasBaitCte =
@@ -134,7 +208,9 @@ object SparkEntry {
        |  SELECT DISTINCT m.doc_id, a.canonical
        |  FROM ${p("mentions_flat")} m JOIN ${p("aliases")} a ON m.surface = a.alias)""".stripMargin
 
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] = kgOracles ++ textOracles
+
+  def kgOracles: Map[String, String] = Map(
     "q_pipeline_triples" ->
       s"""WITH $aliasBaitCte,
          |sp AS (SELECT doc_id, unnest(spans) AS s FROM ${p("docs_flat")}),
@@ -251,5 +327,99 @@ object SparkEntry {
          |      UNION ALL SELECT 111, 222, 'Manually Added', 1)
          |GROUP BY src_id, dst_id, pred
          |ORDER BY src_id, dst_id, pred_norm""".stripMargin
+  )
+
+  private val D = "read_parquet('/root/testdata/sf0.01/documents.parquet')"
+  private val docsLong =
+    s"(SELECT CAST(doc_id AS BIGINT) AS doc_id, text FROM $D)"
+
+  private def markerSum(words: Seq[String]): String =
+    words.map(w => s"len(regexp_extract_all(pad, ' $w '))").mkString(" + ")
+
+  private val qualityCte =
+    s"""q0 AS (SELECT doc_id, text, ' ' || lower(text) || ' ' AS pad FROM $docsLong),
+       |q1 AS (SELECT doc_id,
+       |  length(text) AS n_chars,
+       |  len(list_filter(string_split_regex(trim(text), '\\s+'), w -> len(w) > 0)) AS n_tokens,
+       |  ${markerSum(Seq("the", "and", "of", "a", "in", "to", "is"))} AS n_stopwords,
+       |  len(regexp_extract_all(text, '[.,;:!?]')) AS n_punct
+       |  FROM q0)""".stripMargin
+
+  def textOracles: Map[String, String] = Map(
+    "q_token_count" ->
+      s"""SELECT doc_id,
+         |  len(list_filter(string_split_regex(trim(text), '\\s+'), w -> len(w) > 0)) AS n_tokens
+         |FROM $docsLong ORDER BY doc_id""".stripMargin,
+    "q_quality" ->
+      s"""WITH $qualityCte
+         |SELECT doc_id, n_chars, n_tokens, n_stopwords, n_punct,
+         |  CASE WHEN n_tokens < 5 THEN 0
+         |       WHEN n_punct * 10 > n_tokens THEN 1
+         |       WHEN n_stopwords = 0 THEN 2 ELSE 3 END AS quality_bucket
+         |FROM q1 ORDER BY doc_id""".stripMargin,
+    "q_lang_guess" ->
+      s"""WITH q0 AS (SELECT doc_id, text, ' ' || lower(text) || ' ' AS pad FROM $docsLong),
+         |sc AS (SELECT doc_id, text,
+         |  ${markerSum(Seq("the", "and", "of", "is", "with"))} AS s_en,
+         |  ${markerSum(Seq("der", "und", "die", "das", "mit"))} AS s_de,
+         |  ${markerSum(Seq("el", "los", "las", "una", "con"))} AS s_es,
+         |  ${markerSum(Seq("le", "les", "et", "une", "dans"))} AS s_fr
+         |  FROM q0)
+         |SELECT doc_id, CASE
+         |  WHEN len(regexp_extract_all(text, '[一-龥]')) > 0 THEN 'zh'
+         |  WHEN s_en = greatest(s_en, s_de, s_es, s_fr) THEN 'en'
+         |  WHEN s_de = greatest(s_en, s_de, s_es, s_fr) THEN 'de'
+         |  WHEN s_es = greatest(s_en, s_de, s_es, s_fr) THEN 'es'
+         |  ELSE 'fr' END AS lang_guess
+         |FROM sc ORDER BY doc_id""".stripMargin,
+    "q_exact_dedup" ->
+      s"""SELECT md5(text) AS text_md5, count(*) AS n_docs, min(doc_id) AS min_doc_id
+         |FROM ${p("dedup_docs")} GROUP BY md5(text) HAVING count(*) > 1
+         |ORDER BY text_md5""".stripMargin,
+    "q_dedup_keep" ->
+      s"""SELECT min(doc_id) AS doc_id FROM ${p("dedup_docs")}
+         |GROUP BY md5(text) ORDER BY doc_id""".stripMargin,
+    "q_ngram_overlap" ->
+      s"""WITH tok AS (SELECT doc_id AS id,
+         |  list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), w -> len(w) > 0) AS ts
+         |  FROM ${p("dedup_docs")}),
+         |sh AS (SELECT DISTINCT id, array_to_string(ts[i:i+2], ' ') AS sh
+         |  FROM tok, UNNEST(generate_series(1, len(ts) - 2)) AS g(i) WHERE len(ts) >= 3),
+         |cnt AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY id),
+         |pr AS (SELECT a, b FROM ${p("ngram_pairs")})
+         |SELECT pr.a, pr.b, count(*) AS n_common, ca.n_sh AS n_a, cb.n_sh AS n_b
+         |FROM pr
+         |JOIN sh sa ON sa.id = pr.a
+         |JOIN sh sb ON sb.id = pr.b AND sb.sh = sa.sh
+         |JOIN cnt ca ON ca.id = pr.a
+         |JOIN cnt cb ON cb.id = pr.b
+         |GROUP BY pr.a, pr.b, ca.n_sh, cb.n_sh
+         |ORDER BY a, b""".stripMargin,
+    "q_ann_topk" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+         |  FROM read_parquet('/root/testdata/sf0.01/embeddings.parquet')),
+         |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id IN (0,1,2,3,4)),
+         |s AS (SELECT q.query_id, e.vec_id,
+         |  round(list_dot_product(e.v, q.qv) /
+         |        (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qv, q.qv))), 5) AS cos5
+         |  FROM e CROSS JOIN q WHERE e.vec_id <> q.query_id),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos5 DESC, vec_id ASC) AS rk
+         |  FROM s)
+         |SELECT query_id, CAST(rk AS INTEGER) AS rank, vec_id FROM r WHERE rk <= 10
+         |ORDER BY query_id, rank""".stripMargin,
+    "q_media_features" ->
+      s"""WITH sp AS (SELECT unnest(spans) AS s FROM ${p("docs_flat")}),
+         |m AS (SELECT DISTINCT s.media_ref AS media_ref FROM sp WHERE s.kind = 'media'),
+         |h AS (SELECT media_ref, md5(media_ref) AS hx FROM m)
+         |SELECT media_ref,
+         |  ${(0 until 8).map(i => s"ascii(substr(hx, ${i + 1}, 1)) AS f$i").mkString(", ")}
+         |FROM h ORDER BY media_ref LIMIT 500""".stripMargin,
+    "q_media_edges" ->
+      s"""WITH pv AS (SELECT src_id, unnest(provenance) AS p FROM ${p("edges_flat")}),
+         |pm AS (SELECT DISTINCT src_id AS node_id, p.media_ref AS media_ref
+         |  FROM pv WHERE p.media_ref <> '')
+         |SELECT pm.node_id, n.name, 'has_media' AS pred_norm, pm.media_ref
+         |FROM pm JOIN ${p("nodes_flat")} n USING (node_id)
+         |ORDER BY node_id, media_ref LIMIT 500""".stripMargin
   )
 }

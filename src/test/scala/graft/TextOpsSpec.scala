@@ -1,0 +1,103 @@
+package graft
+
+import graft.text.{NearDup, TextOps}
+import graft.sim.Ann
+import org.apache.spark.sql.functions._
+
+class TextOpsSpec extends SparkSuite {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog and the cat"),
+    (2L, "the quick brown fox jumps over the lazy dog and the cat"), // exact dup of 1
+    (3L, "quick brown fox jumps over the lazy dog and the cat"),     // near dup of 1
+    (4L, "der hund und die katze und das haus mit garten"),
+    (5L, "el gato y los perros con las casas una madre"),
+    (6L, "数据 处理 系统"),
+    (7L, ""),
+    (8L, "completely different text about database systems")
+  ).toDF("doc_id", "text")
+
+  test("token count handles empty and multi-space text") {
+    val r = Seq((1L, "a  b   c"), (2L, ""), (3L, "  "), (4L, "one"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), TextOps.tokenCount(col("text")).as("n"))
+      .as[(Long, Int)].collect().toMap
+    assert(r == Map(1L -> 3, 2L -> 0, 3L -> 0, 4L -> 1))
+  }
+
+  test("exact dedup groups and keeps min id") {
+    val groups = TextOps.exactDupGroups(docs, "doc_id", "text")
+      .select("n_docs", "min_doc_id").as[(Long, Long)].collect()
+    assert(groups.toSeq == Seq((2L, 1L)))
+    val kept = TextOps.dedupExact(docs, "doc_id", "text")
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(1L, 3L, 4L, 5L, 6L, 7L, 8L))
+  }
+
+  test("language guess: markers and CJK script") {
+    val r = docs.select(col("doc_id"), TextOps.langGuess(col("text")).as("g"))
+      .as[(Long, String)].collect().toMap
+    assert(r(1L) == "en" && r(4L) == "de" && r(5L) == "es" && r(6L) == "zh")
+    assert(r(7L) == "en") // zero scores everywhere → priority order → en
+  }
+
+  test("quality buckets") {
+    val q = TextOps.quality(Seq(
+        (1L, "ok"), (2L, "a b c d e f g h with the and of it"),
+        (3L, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"),
+        (4L, "a!?.. b,;: c!!!! d.... e??")).toDF("doc_id", "text"),
+      "doc_id", "text")
+      .select("doc_id", "quality_bucket").as[(Long, Int)].collect().toMap
+    assert(q == Map(1L -> 0, 2L -> 3, 3L -> 2, 4L -> 1))
+  }
+
+  test("ngram overlap counts exact and near dup pairs") {
+    val pairs = Seq((1L, 2L), (1L, 3L), (1L, 8L)).toDF("a", "b")
+    val r = TextOps.ngramOverlap(docs, pairs, "doc_id", "text")
+      .select("a", "b", "n_common", "n_a", "n_b")
+      .as[(Long, Long, Long, Long, Long)].collect().map(t => (t._1, t._2) -> t).toMap
+    assert(r((1L, 2L))._3 == r((1L, 2L))._4) // identical text → full overlap
+    assert(r((1L, 3L))._3 > 5)               // near dup → large overlap
+    assert(!r.contains((1L, 8L)))            // disjoint → no common shingles row
+  }
+
+  test("minhash LSH finds exact and near dups, not unrelated docs") {
+    val pairs = NearDup.minhashDupPairs(docs, "doc_id", "text", threshold = 0.5)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)) && pairs.contains((1L, 3L)) && pairs.contains((2L, 3L)))
+    assert(!pairs.exists(p => p._1 == 8L || p._2 == 8L))
+  }
+
+  test("simhash: identical docs at hamming 0; near dups close; jaccard verify works") {
+    val r = NearDup.simhashDupPairs(docs, "doc_id", "text", maxHamming = 3)
+      .select("a", "b", "hamming").as[(Long, Long, Long)].collect()
+      .map(t => (t._1, t._2) -> t._3).toMap
+    assert(r((1L, 2L)) == 0L)
+    assert(NearDup.simhash64("x") == NearDup.simhash64("x"))
+  }
+
+  test("winnowing fingerprints: shared fingerprints for near dups") {
+    val fp = NearDup.fingerprints(docs, "doc_id", "text").collect()
+      .groupBy(_.doc_id).view.mapValues(_.map(_.fp).toSet).toMap
+    assert((fp(1L) & fp(2L)) == fp(1L)) // identical docs → identical fps
+    assert((fp(1L) & fp(3L)).size > fp(1L).size / 3)
+    assert((fp(1L) & fp(8L)).size < 3)
+  }
+
+  test("brute cosine top-k is exact and deterministic; LSH recall is decent") {
+    val rng = new java.util.Random(7)
+    val emb = (0L until 100L).map(i =>
+      (i, Array.fill(16)(rng.nextGaussian().toFloat))).toDF("vec_id", "embedding")
+    val brute = Ann.bruteTopK(emb, Seq(0L, 1L), 5)
+      .select("query_id", "rank", "vec_id").as[(Long, Int, Long)].collect().toSet
+    assert(brute.size == 10)
+    val brute2 = Ann.bruteTopK(emb, Seq(0L, 1L), 5)
+      .select("query_id", "rank", "vec_id").as[(Long, Int, Long)].collect().toSet
+    assert(brute == brute2)
+    val lsh = Ann.lshTopK(emb, Seq(0L, 1L), 5, dim = 16)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val bruteIds = brute.map(t => (t._1, t._3))
+    assert((lsh & bruteIds).size >= 5, s"LSH recall too low: ${(lsh & bruteIds).size}/10")
+  }
+}
