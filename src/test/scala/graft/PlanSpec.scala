@@ -1,0 +1,59 @@
+package graft
+
+import graft.link.EntityLink
+import graft.model.RawTriple
+import graft.sim.Ann
+import org.apache.spark.sql.functions._
+
+/** Physical-plan assertions: the scale properties we rely on must be visible
+  * in the plan, not assumed — broadcast joins on dictionary sides, parquet
+  * filter/column pushdown, object-hash aggregation for the bounded collect,
+  * whole-stage codegen on the hot relational path. */
+class PlanSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("entity linking uses broadcast hash joins (no shuffle join on the corpus side)") {
+    val raw = Seq(RawTriple("d1", 0, "A", "P", "B", true, true, "", 1.0)).toDS().toDF()
+    val aliases = Seq(("A", "A", 1.0), ("B", "B", 1.0)).toDF("alias", "canonical", "prior")
+    val docsText = Seq(("d1", "x")).toDF("doc_id", "text")
+    val p = plan(EntityLink.link(spark, raw, aliases, docsText))
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("SortMergeJoin"), "alias join must not shuffle the big side")
+  }
+
+  test("parquet scan gets filter and column pushdown") {
+    val dir = tmpDir("pq")
+    (0 until 1000).map(i => (i.toLong, s"n$i", i % 7)).toDF("id", "name", "grp")
+      .write.mode("overwrite").parquet(dir)
+    val df = spark.read.parquet(dir).filter(col("id") > 500).select("id", "name")
+    val scan = df.queryExecution.executedPlan.toString
+    assert(scan.contains("PushedFilters: [IsNotNull(id), GreaterThan(id,500)]"), scan)
+    assert(scan.contains("ReadSchema: struct<id:bigint,name:string>"), scan)
+  }
+
+  test("bounded collect aggregates via ObjectHashAggregate (partial + final)") {
+    import graft.functions.BoundedCollectList.bounded_collect_list
+    val df = Seq((1, "a"), (1, "b"), (2, "c")).toDF("k", "v")
+      .groupBy("k").agg(bounded_collect_list(struct(col("v")), 4).as("vs"))
+    val p = plan(df)
+    assert(p.contains("ObjectHashAggregate"), p)
+    assert(countOccurrences(p, "ObjectHashAggregate") >= 2, "partial + final expected:\n" + p)
+    assert(df.collect().map(_.getAs[Seq[Any]]("vs").size).sorted.toSeq == Seq(1, 2))
+  }
+
+  test("brute ANN plan: broadcast queries, top-k pushed into WindowGroupLimit, no UDFs") {
+    val emb = (0L until 50L).map(i => (i, Array.fill(8)(0.1f * i))).toDF("vec_id", "embedding")
+    val p = plan(Ann.bruteTopK(emb, Seq(0L), 3))
+    // the query side is the broadcast side of the (intended) cross join
+    assert(p.contains("BroadcastNestedLoopJoin BuildRight"), p.take(2000))
+    // rank<=k is pushed below the shuffle as a partial WindowGroupLimit
+    assert(p.contains("WindowGroupLimit"), p.take(2000))
+    assert(!p.toLowerCase.contains("batchevalpython") && !p.contains("ScalaUDF"), p.take(2000))
+  }
+
+  private def countOccurrences(s: String, sub: String): Int =
+    s.sliding(sub.length).count(_ == sub)
+}
