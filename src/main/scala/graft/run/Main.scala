@@ -1,0 +1,101 @@
+package graft.run
+
+import graft.graph.KgQueries
+import graft.tables.TableIO
+import org.apache.spark.sql.SparkSession
+
+/** spark-submit entry point — the reference's builder main
+  * (/root/reference/cmd/kg-builder/main.go:21) reshaped: config from
+  * `--key=value` args (the S7 precedence chain defaults < args mirrors the
+  * reference's defaults < YAML < env < flags), stage orchestration with
+  * resume, run-metrics manifest, and the closing statistics printout
+  * (mirrors showStatistics, main.go:178-193).
+  *
+  * Usage (local example):
+  *   spark-submit --class graft.run.Main <jar> \
+  *     --workDir=/tmp/kg --nDocs=100000 --nBuckets=32 --concurrency=8 \
+  *     --fastExtract=false --enrich=true
+  */
+object Main {
+
+  def parseArgs(args: Array[String]): Map[String, String] =
+    args.filter(_.startsWith("--")).map { a =>
+      val kv = a.stripPrefix("--").split("=", 2)
+      kv(0) -> (if (kv.length > 1) kv(1) else "true")
+    }.toMap
+
+  def confFrom(m: Map[String, String]): Pipeline.Conf = Pipeline.Conf(
+    workDir = m.getOrElse("workDir", "/root/repo/target/kg-run"),
+    nDocs = m.getOrElse("nDocs", "400").toLong,
+    seed = m.getOrElse("seed", "42").toLong,
+    nBuckets = m.getOrElse("nBuckets", "8").toInt,
+    concurrency = m.getOrElse("concurrency", "4").toInt,
+    fastExtract = m.getOrElse("fastExtract", "false").toBoolean)
+
+  def main(args: Array[String]): Unit = {
+    val opts = parseArgs(args)
+    val spark = SparkSession.getActiveSession.getOrElse(
+      SparkSession.builder()
+        .master(opts.getOrElse("master", "local[8]"))
+        .appName("graft-kg")
+        .config("spark.sql.shuffle.partitions", opts.getOrElse("shufflePartitions", "8"))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate())
+    spark.sparkContext.setLogLevel("WARN")
+    val c = confFrom(opts)
+
+    val t0 = System.nanoTime()
+    val out = Pipeline.run(spark, c)
+
+    // optional enrichment pass (the reference's MineRandomRelationships /
+    // enricher RunOnce, G6/G7)
+    if (opts.getOrElse("enrich", "false").toBoolean) {
+      import org.apache.spark.sql.functions._
+      val aliases = spark.read.parquet(Pipeline.aliasesPath(c))
+      val dict = graft.extract.Extract.broadcastDict(spark,
+        aliases.select("alias").as[String](org.apache.spark.sql.Encoders.STRING).collect())
+      import spark.implicits._
+      val mentions = graft.extract.Extract.mentionsAll(
+          out.docs.drop("bucket").as[graft.model.Doc], dict).toDF()
+        .join(broadcast(aliases), col("surface") === col("alias"))
+        .select("doc_id", "canonical")
+      val newEdges = KgQueries.enrichOnce(out.nodes, out.edges, mentions,
+        minDocs = opts.getOrElse("enrichMinDocs", "3").toLong,
+        maxNew = opts.getOrElse("enrichMax", "50").toInt)
+      val enriched = out.edges.unionByName(newEdges
+        .withColumnRenamed("n_docs", "n_obs")
+        .withColumn("pred", lit("CoOccursWith"))
+        .withColumn("provenance", typedLit(Seq.empty[(String, Int, String)])
+          .cast(out.edges.schema("provenance").dataType))
+        .withColumn("created_at", graft.graph.Materialize.CreatedAt)
+        .select(out.edges.columns.map(col): _*))
+      TableIO.commitSnapshot(enriched, Pipeline.edgesDir(c), "edges")
+    }
+
+    val wallSec = (System.nanoTime() - t0) / 1e9
+    val nodes = TableIO.readCurrent(spark, Pipeline.nodesDir(c))
+    val edges = TableIO.readCurrent(spark, Pipeline.edgesDir(c))
+    val stats = KgQueries.statistics(nodes, edges).collect()(0)
+
+    // run-metrics manifest (A5 — the reference's BuilderStats counters)
+    val metrics = f"""{
+      |  "wall_sec": $wallSec%.2f,
+      |  "node_count": ${stats.getLong(0)},
+      |  "relationship_count": ${stats.getLong(1)},
+      |  "docs": ${c.nDocs},
+      |  "buckets": ${c.nBuckets},
+      |  "fast_extract": ${c.fastExtract}
+      |}""".stripMargin
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"${c.workDir}/run-metrics.json"), metrics)
+
+    println(s"Graph built: ${stats.getLong(0)} concepts, " +
+      s"${stats.getLong(1)} relationships in ${wallSec.formatted("%.1f")}s")
+    KgQueries.mostConnected(nodes, edges, 5).collect().foreach { r =>
+      println(s"  top: ${r.getAs[String]("name")} (${r.getAs[Long]("degree")})")
+    }
+    if (opts.getOrElse("stopSession", "true").toBoolean) spark.stop()
+  }
+}

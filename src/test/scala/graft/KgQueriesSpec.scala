@@ -1,0 +1,92 @@
+package graft
+
+import graft.graph.{Cleanup, KgQueries, Materialize}
+import org.apache.spark.sql.functions._
+
+class KgQueriesSpec extends SparkSuite {
+  import spark.implicits._
+
+  private val nodes = Seq(
+    (1L, "Artificial Intelligence"), (2L, "Machine Learning"),
+    (3L, "Data Mining"), (4L, "Statistics")
+  ).toDF("node_id", "name").withColumn("canonical_name", col("name"))
+
+  private val edges = Seq(
+    (1L, 2L, "Includes"), (2L, 3L, "Uses"), (1L, 3L, "RelatedTo")
+  ).toDF("src_id", "dst_id", "pred")
+    .withColumn("pred_norm", Materialize.normPred(col("pred")))
+    .withColumn("strength", lit(1.0))
+    .withColumn("n_obs", lit(1L))
+    .withColumn("provenance",
+      typedLit(Seq.empty[(String, Int, String)])
+        .cast("array<struct<doc_id:string,span_idx:int,media_ref:string>>"))
+    .withColumn("created_at", Materialize.CreatedAt)
+
+  test("degree, top-k, search, statistics") {
+    val deg = KgQueries.degree(nodes, edges)
+      .select("name", "degree").as[(String, Long)].collect().toMap
+    assert(deg == Map("Artificial Intelligence" -> 2L, "Machine Learning" -> 2L,
+      "Data Mining" -> 2L, "Statistics" -> 0L))
+    assert(KgQueries.lowConnectivity(nodes, edges, 1)
+      .select("name").as[String].head() == "Statistics")
+    assert(KgQueries.search(nodes, "Data").as[String].collect().toSeq == Seq("Data Mining"))
+    val st = KgQueries.statistics(nodes, edges).as[(Long, Long)].head()
+    assert(st == (4L, 3L))
+  }
+
+  test("non-adjacent pairs exclude existing edges in either direction") {
+    val pairs = KgQueries.nonAdjacentPairs(nodes, edges, 10)
+      .as[(String, String)].collect().toSet
+    // 4 choose 2 = 6 pairs, 3 adjacent → 3 remain
+    assert(pairs.size == 3)
+    assert(!pairs.contains(("Artificial Intelligence", "Machine Learning")))
+    assert(pairs.forall(p => p._1 == "Statistics" || p._2 == "Statistics"))
+  }
+
+  test("enrichOnce adds only non-adjacent co-occurring pairs above threshold") {
+    val mentions = Seq(
+      ("d1", "Artificial Intelligence"), ("d1", "Statistics"),
+      ("d2", "Artificial Intelligence"), ("d2", "Statistics"),
+      ("d3", "Machine Learning"), ("d3", "Statistics"),
+      ("d4", "Artificial Intelligence"), ("d4", "Machine Learning") // adjacent
+    ).toDF("doc_id", "canonical")
+    val r = KgQueries.enrichOnce(nodes, edges, mentions, minDocs = 2, maxNew = 10)
+      .select("src_id", "dst_id", "n_docs").as[(Long, Long, Long)].collect().toSet
+    assert(r == Set((1L, 4L, 2L))) // AI–Statistics, 2 docs; ML–Stats only 1 doc
+  }
+
+  test("addEdge merges on (src,dst,pred) and normalizes the predicate") {
+    val once = KgQueries.addEdge(edges, 9L, 8L, "Hand Made")
+    assert(once.count() == 4)
+    val twice = KgQueries.addEdge(once, 9L, 8L, "Hand Made")
+    val row = twice.filter(col("src_id") === 9L)
+      .select("pred_norm", "n_obs").as[(String, Long)].collect()
+    assert(row.toSeq == Seq(("hand_made", 2L)))
+  }
+
+  test("cleanup drops empty-pred edges and orphan nodes") {
+    val dirtyE = edges.select("src_id", "dst_id", "pred")
+      .union(Seq((7L, 8L, " ")).toDF("src_id", "dst_id", "pred"))
+    val dirtyN = nodes.select("node_id", "name")
+      .union(Seq((99L, "Orphan")).toDF("node_id", "name"))
+    val (cn, ce) = Cleanup(dirtyN, dirtyE)
+    assert(ce.count() == 3)
+    // Statistics has no edges → dropped; Orphan dropped
+    assert(cn.select("name").as[String].collect().toSet ==
+      Set("Artificial Intelligence", "Machine Learning", "Data Mining"))
+  }
+
+  test("graph snapshot export shapes") {
+    val (ns, ls) = KgQueries.graphSnapshot(nodes, edges)
+    assert(ns.columns.toSeq == Seq("id", "name", "type", "size"))
+    assert(ls.columns.toSeq == Seq("source", "target", "type"))
+    assert(ns.count() == 4 && ls.count() == 3)
+  }
+
+  test("Main arg parsing and conf precedence") {
+    val m = graft.run.Main.parseArgs(Array("--workDir=/tmp/x", "--nDocs=123", "--enrich"))
+    val c = graft.run.Main.confFrom(m)
+    assert(c.workDir == "/tmp/x" && c.nDocs == 123L && c.nBuckets == 8)
+    assert(m("enrich") == "true")
+  }
+}
