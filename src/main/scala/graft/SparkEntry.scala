@@ -104,6 +104,10 @@ object SparkEntry {
       val (ns, _) = KgQueries.graphSnapshot(Fixtures.nodesFlat(s, d), Fixtures.edgesFlat(s, d))
       ns.orderBy("id")
     }),
+    // --- G1/O6 seed-BFS reachability (iterative DataFrame loop) ---
+    "q_bfs_reachable" -> ((s, d) =>
+      KgQueries.reachableFrom(Fixtures.nodesFlat(s, d), Fixtures.edgesFlat(s, d),
+        "Artificial Intelligence", maxHops = 2, maxNodes = 1000)),
     // --- S13 manual edge creation (MERGE semantics) ---
     "q_add_edge" -> ((s, d) =>
       KgQueries.addEdge(Fixtures.edgesFlat(s, d), 111L, 222L, "Manually Added")
@@ -320,6 +324,17 @@ object SparkEntry {
       s"""WITH $degreeCte
          |SELECT node_id AS id, name, 'Concept' AS type, degree AS size
          |FROM nd ORDER BY id""".stripMargin,
+    "q_bfs_reachable" ->
+      s"""WITH RECURSIVE adj AS (SELECT DISTINCT src_id, dst_id FROM ${p("edges_flat")}),
+         |r(node_id, hops) AS (
+         |  SELECT node_id, 0 FROM ${p("nodes_flat")} WHERE name = 'Artificial Intelligence'
+         |  UNION ALL
+         |  SELECT a.dst_id, r.hops + 1 FROM r JOIN adj a ON a.src_id = r.node_id
+         |  WHERE r.hops < 2),
+         |m AS (SELECT node_id, min(hops) AS hops FROM r GROUP BY node_id)
+         |SELECT m.node_id, n.name, CAST(m.hops AS INTEGER) AS hops
+         |FROM m JOIN ${p("nodes_flat")} n USING (node_id)
+         |ORDER BY hops, name LIMIT 1000""".stripMargin,
     "q_add_edge" ->
       s"""SELECT src_id, dst_id, lower(replace(pred, ' ', '_')) AS pred_norm,
          |  CAST(sum(n_obs) AS BIGINT) AS n_obs

@@ -109,6 +109,38 @@ object KgQueries {
         col("n_docs"))
   }
 
+  /** G1/O6: seed-BFS reachability as an iterative DataFrame loop — the
+    * reference's frontier-queue graph expansion
+    * (/root/reference/kg-builder/internal/graph/graph.go:56-130) without
+    * driver-side state: `frontier ← (frontier ⋈ edges) anti-join visited`,
+    * bounded by maxHops and maxNodes (the reference's MAX_NODES cap; winner
+    * selection by (hops, name) keeps the cap deterministic).
+    * Follows out-edges, as the builder's expansion does.
+    * Returns (node_id, name, hops). */
+  def reachableFrom(nodes: DataFrame, edges: DataFrame, seedName: String,
+      maxHops: Int, maxNodes: Int = Int.MaxValue): DataFrame = {
+    val adj = edges.select(col("src_id"), col("dst_id")).distinct()
+      .localCheckpoint()
+    var visited = nodes.filter(col("name") === seedName)
+      .select(col("node_id"), lit(0).as("hops"))
+      .localCheckpoint()
+    var frontier = visited
+    var hop = 0
+    while (hop < maxHops && !frontier.isEmpty) {
+      hop += 1
+      val next = frontier.join(adj, frontier("node_id") === adj("src_id"))
+        .select(col("dst_id").as("node_id"), lit(hop).as("hops"))
+        .distinct()
+        .join(visited.select("node_id"), Seq("node_id"), "left_anti")
+        .localCheckpoint()
+      visited = visited.unionByName(next).localCheckpoint()
+      frontier = next
+    }
+    visited.join(nodes.select(col("node_id"), col("name")), Seq("node_id"))
+      .orderBy(col("hops").asc, col("name").asc).limit(maxNodes)
+      .select("node_id", "name", "hops")
+  }
+
   /** S13: manual edge creation by node id (REST POST /api/relationships). */
   def addEdge(edges: DataFrame, srcId: Long, dstId: Long, pred: String): DataFrame = {
     val spark = edges.sparkSession

@@ -125,7 +125,9 @@ object TableIO {
       inputDir: String,
       stageDir: String,
       nBuckets: Int,
-      concurrency: Int = 4)(transform: DataFrame => DataFrame): DataFrame = {
+      concurrency: Int = 4,
+      maxRetries: Int = 2,
+      backoffMs: Long = 1000L)(transform: DataFrame => DataFrame): DataFrame = {
     val base = Paths.get(stageDir)
     Files.createDirectories(base.resolve("data"))
     val manifestDir = base.resolve("_manifest")
@@ -144,21 +146,35 @@ object TableIO {
           val done = readPartitionMeta(mPath).exists(m =>
             m.status == "committed" && m.fingerprint == fp)
           if (!done) {
-            val t0 = System.nanoTime()
-            val in = spark.read.parquet(s"$inputDir/bucket=$b")
-            val inRows = parquetRowCount(s"$inputDir/bucket=$b")
-            val out = transform(in)
-            val tmp = base.resolve(f"tmp-$b%04d")
-            out.write.mode("overwrite").parquet(tmp.toString)
-            val outRows = parquetRowCount(tmp.toString)
-            val dataDir = base.resolve("data").resolve(s"bucket=$b")
-            if (Files.exists(dataDir))
-              Files.walk(dataDir).sorted(java.util.Comparator.reverseOrder())
-                .forEach(p => Files.delete(p))
-            Files.move(tmp, dataDir, StandardCopyOption.ATOMIC_MOVE)
-            val ms = (System.nanoTime() - t0) / 1000000
-            writeJsonAtomic(mPath,
-              PartitionMeta(stage, b, "committed", inRows, outRows, ms, fp))
+            // X5: retry with backoff per bucket — the reference's
+            // RetryWithBackoff (kg-builder/internal/errors/errors.go:127-151)
+            // at partition granularity, on top of Spark's task retries
+            var attempt = 0
+            var committed = false
+            while (!committed) {
+              try {
+                val t0 = System.nanoTime()
+                val in = spark.read.parquet(s"$inputDir/bucket=$b")
+                val inRows = parquetRowCount(s"$inputDir/bucket=$b")
+                val out = transform(in)
+                val tmp = base.resolve(f"tmp-$b%04d")
+                out.write.mode("overwrite").parquet(tmp.toString)
+                val outRows = parquetRowCount(tmp.toString)
+                val dataDir = base.resolve("data").resolve(s"bucket=$b")
+                if (Files.exists(dataDir))
+                  Files.walk(dataDir).sorted(java.util.Comparator.reverseOrder())
+                    .forEach(p => Files.delete(p))
+                Files.move(tmp, dataDir, StandardCopyOption.ATOMIC_MOVE)
+                val ms = (System.nanoTime() - t0) / 1000000
+                writeJsonAtomic(mPath,
+                  PartitionMeta(stage, b, "committed", inRows, outRows, ms, fp))
+                committed = true
+              } catch {
+                case e: Throwable if attempt < maxRetries =>
+                  attempt += 1
+                  Thread.sleep(backoffMs * (1L << (attempt - 1)))
+              }
+            }
             true
           } else false
         }

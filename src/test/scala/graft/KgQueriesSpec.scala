@@ -83,6 +83,25 @@ class KgQueriesSpec extends SparkSuite {
     assert(ns.count() == 4 && ls.count() == 3)
   }
 
+  test("reachableFrom: BFS hops with cycles, caps, and unreachable nodes") {
+    // 1→2→3, 1→3, plus a cycle 3→1 and isolated node 4
+    val e = edges.unionByName(
+      Seq((3L, 1L, "Back")).toDF("src_id", "dst_id", "pred")
+        .withColumn("pred_norm", lit("back")).withColumn("strength", lit(1.0))
+        .withColumn("n_obs", lit(1L))
+        .withColumn("provenance", typedLit(Seq.empty[(String, Int, String)])
+          .cast("array<struct<doc_id:string,span_idx:int,media_ref:string>>"))
+        .withColumn("created_at", Materialize.CreatedAt))
+    val r = KgQueries.reachableFrom(nodes, e, "Artificial Intelligence", maxHops = 3)
+      .select("name", "hops").as[(String, Int)].collect().toMap
+    assert(r == Map("Artificial Intelligence" -> 0,
+      "Machine Learning" -> 1, "Data Mining" -> 1))
+    val capped = KgQueries.reachableFrom(nodes, e, "Artificial Intelligence",
+      maxHops = 3, maxNodes = 2).select("name").as[String].collect().toSet
+    assert(capped == Set("Artificial Intelligence", "Data Mining")) // (hops, name) order
+    assert(KgQueries.reachableFrom(nodes, e, "Nope", 3).count() == 0)
+  }
+
   test("Main arg parsing and conf precedence") {
     val m = graft.run.Main.parseArgs(Array("--workDir=/tmp/x", "--nDocs=123", "--enrich"))
     val c = graft.run.Main.confFrom(m)

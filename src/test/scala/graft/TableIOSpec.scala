@@ -47,10 +47,10 @@ class TableIOSpec extends SparkSuite {
     TableIO.bucketize(
       (0 until 80).map(i => (f"doc-$i%04d", i)).toDF("doc_id", "v"), "doc_id", 4, in)
 
-    // first attempt dies on one bucket (simulated kill mid-stage)
+    // first attempt dies on one bucket (simulated kill mid-stage; retries off)
     val poison = new java.util.concurrent.atomic.AtomicInteger(0)
     intercept[Exception] {
-      TableIO.runBucketed(spark, "s", in, stage, 4, 1) { df =>
+      TableIO.runBucketed(spark, "s", in, stage, 4, 1, maxRetries = 0) { df =>
         if (poison.incrementAndGet() == 3) throw new RuntimeException("boom")
         df.withColumn("v2", col("v") + 1)
       }
@@ -67,5 +67,20 @@ class TableIOSpec extends SparkSuite {
       df.withColumn("v2", col("v") + 1))
     assert(out.select("doc_id", "v", "v2").as[(String, Int, Int)].collect().sortBy(_._1).toSeq ==
       outClean.select("doc_id", "v", "v2").as[(String, Int, Int)].collect().sortBy(_._1).toSeq)
+  }
+
+  test("per-bucket retry with backoff recovers from transient failures (X5)") {
+    val in = tmpDir("in3")
+    val stage = tmpDir("stage4")
+    TableIO.bucketize(
+      (0 until 40).map(i => (f"doc-$i%04d", i)).toDF("doc_id", "v"), "doc_id", 2, in)
+    val flaky = new java.util.concurrent.atomic.AtomicInteger(0)
+    val out = TableIO.runBucketed(spark, "s", in, stage, 2, 1,
+      maxRetries = 2, backoffMs = 10L) { df =>
+      if (flaky.incrementAndGet() <= 2) throw new RuntimeException("transient")
+      df.withColumn("v2", col("v") * 3)
+    }
+    assert(out.count() == 40)
+    assert(flaky.get() >= 3) // at least two failures were retried through
   }
 }
