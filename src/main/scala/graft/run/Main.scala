@@ -40,6 +40,7 @@ object Main {
         .appName("graft-kg")
         .config("spark.sql.shuffle.partitions", opts.getOrElse("shufflePartitions", "8"))
         .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
         .getOrCreate())

@@ -10,6 +10,7 @@ object Smoke {
     .appName("graft-smoke")
     .config("spark.sql.shuffle.partitions", cores.toString)
     .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
     .getOrCreate()

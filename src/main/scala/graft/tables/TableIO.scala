@@ -110,6 +110,23 @@ object TableIO {
       Paths.get(dir, currentSnapshot(dir).getOrElse(
         throw new IllegalStateException(s"no CURRENT snapshot in $dir"))).toString)
 
+  /** Time travel: read a specific committed snapshot (snapshots are
+    * immutable; CURRENT only ever advances). */
+  def readSnapshot(spark: SparkSession, dir: String, snapshot: Int): DataFrame =
+    spark.read.parquet(Paths.get(dir, f"snap-$snapshot%05d").toString)
+
+  def listSnapshots(dir: String): Seq[Int] = {
+    val base = Paths.get(dir)
+    if (!Files.exists(base)) Seq.empty
+    else {
+      val st = Files.list(base)
+      try st.iterator().asScala.map(_.getFileName.toString)
+        .filter(_.startsWith("snap-")).map(_.stripPrefix("snap-").toInt)
+        .toSeq.sorted
+      finally st.close()
+    }
+  }
+
   // ------------------------------------------------------- bucketed staging
 
   /** Run a stage with **bucket-granular resume**. The input must be a

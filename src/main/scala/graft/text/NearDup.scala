@@ -27,7 +27,6 @@ object NearDup extends Serializable {
   val RowsPerBand: Int = NumPerms / Bands
 
   final case class BandSig(doc_id: Long, band: Int, band_hash: Long)
-  final case class SimSig(doc_id: Long, simhash: Long)
   final case class Fingerprint(doc_id: Long, fp: Long)
 
   private def hash64(s: String, seed: Int): Long = {
@@ -168,18 +167,20 @@ object NearDup extends Serializable {
   }
 
   /** SimHash near-dup candidates: equal 16-bit band → candidate, Hamming ≤
-    * maxHamming verifies (4-band pigeonhole ⇒ complete for Hamming ≤ 3). */
+    * maxHamming verifies (4-band pigeonhole ⇒ complete for Hamming ≤ 3).
+    * The signature is the codegen'd [[graft.functions.SimHash64Expr]] —
+    * the whole candidate generation stays inside whole-stage codegen. */
   def simhashDupPairs(docs: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3): DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
-    val sigs = docs.select(col(idCol).cast("long").as("id"), col(textCol).as("t"))
-      .as[(Long, String)]
-      .mapPartitions(_.map { case (id, t) => SimSig(id, simhash64(t)) })
+    val sigs = docs.select(col(idCol).cast("long").as("id"),
+        graft.functions.SimHash64Expr.simhash64(col(textCol)).as("sig"))
       .localCheckpoint()
-    val banded = sigs.flatMap(s => (0 until 4).map(b =>
-      (s.doc_id, s.simhash, b, (s.simhash >>> (b * 16)) & 0xffffL)))
-      .toDF("id", "sig", "band", "band_val")
+    val banded = sigs.select(col("id"), col("sig"),
+        explode(array((0 until 4).map(b => struct(lit(b).as("band"),
+          shiftrightunsigned(col("sig"), b * 16).bitwiseAND(lit(0xffffL))
+            .as("band_val"))): _*)).as("bb"))
+      .select(col("id"), col("sig"), col("bb.band").as("band"),
+        col("bb.band_val").as("band_val"))
     val l = banded.select(col("id").as("a"), col("sig").as("sig_a"), col("band"), col("band_val"))
     val r = banded.select(col("id").as("b"), col("sig").as("sig_b"), col("band"), col("band_val"))
     l.join(r, Seq("band", "band_val")).filter(col("a") < col("b"))
