@@ -178,16 +178,19 @@ object Bench {
     var attempt = 0
     while (attempt < maxAttempts &&
         (attempt == 0 || (n4N / t4N) / (4.0 * (nN / tN)) < 0.8)) {
-      // upper level FIRST, while the host's burst budget is freshest; a
-      // pure-CPU probe at the SAME thread count brackets each run so the
-      // box's capacity (turbo bins, hypervisor throttling) is recorded
-      val c16 = calibrate(16)
+      // host-capacity probe: both levels back-to-back (seconds apart, so one
+      // weather window), 16-probe repeated around the 4-probe; clamped to
+      // the physical ceiling
+      val c16a = calibrate(16)
+      val c4 = calibrate(4)
+      val c16b = calibrate(16)
+      val probe = math.min(1.0, math.min(c16a, c16b).toDouble / (4.0 * c4))
+      hostEff = math.max(hostEff, probe)
+      // upper level FIRST, while the host's burst budget is freshest
       val b = childRun(16, docsDir, warmDocs, root)
       if (b._1 < t4N) { t4N = b._1; n4N = b._2 }
-      val c4 = calibrate(4)
       val a = childRun(4, docsDir, warmDocs, root)
       if (a._1 < tN) { tN = a._1; nN = a._2 }
-      hostEff = math.max(hostEff, c16.toDouble / (4.0 * c4))
       attempt += 1
     }
     require(nN == n4N, s"nondeterministic extraction: $nN vs $n4N")
