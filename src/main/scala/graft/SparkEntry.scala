@@ -69,9 +69,10 @@ object SparkEntry {
     // --- A1 statistics ---
     "q_stats" -> ((s, d) =>
       KgQueries.statistics(Fixtures.nodesFlat(s, d), Fixtures.edgesFlat(s, d))),
-    // --- X2/J4 evidence: doc-level co-occurrence ---
+    // --- X2/J4 evidence: doc-level co-occurrence (per-doc entity cap of 8
+    //     binds on ~270 fixture docs, which carry up to 11 entities) ---
     "q_cooccurrence" -> ((s, d) =>
-      KgQueries.cooccurrence(mentionsCanon(s, d))
+      KgQueries.cooccurrence(mentionsCanon(s, d), maxPerDoc = 8)
         .filter(col("n_docs") >= 3).orderBy("a", "b")),
     // --- J4 non-adjacent candidate pairs (deterministic sampling) ---
     "q_nonadjacent_pairs" -> ((s, d) =>
@@ -280,14 +281,23 @@ object SparkEntry {
       s"""SELECT (SELECT count(*) FROM ${p("nodes_flat")}) AS node_count,
          |       (SELECT count(*) FROM ${p("edges_flat")}) AS relationship_count""".stripMargin,
     "q_cooccurrence" ->
-      s"""WITH $mentionsCanonCte
+      s"""WITH mcc AS (
+         |  SELECT m.doc_id, a.canonical, count(*) AS n_m
+         |  FROM ${p("mentions_flat")} m JOIN ${p("aliases")} a ON m.surface = a.alias
+         |  GROUP BY m.doc_id, a.canonical),
+         |mc AS (
+         |  SELECT doc_id, canonical FROM (
+         |    SELECT doc_id, canonical, row_number() OVER (
+         |      PARTITION BY doc_id ORDER BY n_m DESC, canonical ASC) AS rk
+         |    FROM mcc) WHERE rk <= 8)
          |SELECT l.canonical AS a, r.canonical AS b, count(*) AS n_docs
          |FROM mc l JOIN mc r ON l.doc_id = r.doc_id AND l.canonical < r.canonical
          |GROUP BY a, b HAVING count(*) >= 3 ORDER BY a, b""".stripMargin,
     "q_nonadjacent_pairs" ->
-      s"""WITH ids AS (SELECT node_id, name FROM ${p("nodes_flat")}),
+      s"""WITH sn AS (SELECT node_id, name FROM ${p("nodes_flat")}
+         |  ORDER BY md5(name) LIMIT 64),
          |pairs AS (SELECT a.node_id AS a_id, a.name AS a, b.node_id AS b_id, b.name AS b
-         |  FROM ids a JOIN ids b ON a.node_id < b.node_id),
+         |  FROM sn a JOIN sn b ON a.node_id < b.node_id),
          |ex AS (SELECT DISTINCT least(src_id, dst_id) AS a_id, greatest(src_id, dst_id) AS b_id
          |  FROM ${p("edges_flat")})
          |SELECT a, b FROM pairs ANTI JOIN ex USING (a_id, b_id)

@@ -87,12 +87,14 @@ object DeterministicCorpus extends Serializable {
     rows.result()
   }
 
-  /** Word-boundary substring test (mirrors the matcher's boundary rule). */
+  /** Word-boundary substring test (mirrors the matcher's ASCII boundary). */
+  private def isWordAscii(c: Char): Boolean =
+    (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') || (c >= '0' && c <= '9')
   private def boundedSubstr(needle: String, hay: String): Boolean = {
     var i = hay.indexOf(needle)
     while (i >= 0) {
-      val okL = i == 0 || !hay.charAt(i - 1).isLetterOrDigit
-      val okR = i + needle.length == hay.length || !hay.charAt(i + needle.length).isLetterOrDigit
+      val okL = i == 0 || !isWordAscii(hay.charAt(i - 1))
+      val okR = i + needle.length == hay.length || !isWordAscii(hay.charAt(i + needle.length))
       if (okL && okR) return true
       i = hay.indexOf(needle, i + 1)
     }

@@ -29,7 +29,12 @@ final class AhoCorasick private (
     def surface: String = patterns(patIdx)
   }
 
-  @inline private def isWord(c: Char): Boolean = Character.isLetterOrDigit(c)
+  // ASCII word class, matching the oracle-facing boundaryRegex
+  // ([^A-Za-z0-9]) exactly — one boundary definition across both engines
+  // (full-Unicode isLetterOrDigit would reject an alias next to an accented
+  // char that the regex accepts).
+  @inline private def isWord(c: Char): Boolean =
+    (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') || (c >= '0' && c <= '9')
 
   @inline private def child(s: Int, c: Char): Int =
     if (c < 128) ascii(s * 128 + c)

@@ -1,6 +1,7 @@
 package graft.graph
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** The reference's read/ops API re-expressed as one-line DataFrame queries
@@ -57,11 +58,18 @@ object KgQueries {
     candidates.join(nodes.select(col("name")), Seq("name"), "left_semi")
 
   /** J4: deterministic non-adjacent candidate pairs — the enricher's random
-    * pair generation, sample-first to avoid a full cartesian, hash-ordered
-    * instead of ORDER BY rand(). Excludes existing edges in either
-    * direction via a left-anti join on the normalized (least, greatest) key. */
-  def nonAdjacentPairs(nodes: DataFrame, edges: DataFrame, n: Int): DataFrame = {
+    * pair generation, hash-ordered instead of ORDER BY rand(). SAMPLE-FIRST:
+    * both pairing sides are the same hash-ordered top-S node sample
+    * (S = max(64, ceil(sqrt(oversample·n))) — a TakeOrdered over the node
+    * table, never a full node×node cartesian), so the nested-loop join is
+    * S×S ≈ O(oversample·n) regardless of graph size. Existing edges in
+    * either direction are excluded via a left-anti join on the normalized
+    * (least, greatest) key. */
+  def nonAdjacentPairs(nodes: DataFrame, edges: DataFrame, n: Int,
+      oversample: Int = 32): DataFrame = {
+    val s = math.max(64, math.ceil(math.sqrt(oversample.toDouble * n)).toInt)
     val ids = nodes.select(col("node_id"), col("name"))
+      .orderBy(md5(col("name"))).limit(s)
     val a = ids.select(col("node_id").as("a_id"), col("name").as("a"))
     val b = ids.select(col("node_id").as("b_id"), col("name").as("b"))
     val pairs = a.crossJoin(b).filter(col("a_id") < col("b_id"))
@@ -76,9 +84,20 @@ object KgQueries {
 
   /** Doc-level co-occurrence of canonical entities — the deterministic
     * evidence source for enrichment (replaces the reference's LLM pair
-    * mining, X2). mentionsCanon: (doc_id, canonical). */
-  def cooccurrence(mentionsCanon: DataFrame): DataFrame = {
-    val m = mentionsCanon.select("doc_id", "canonical").distinct()
+    * mining, X2). mentionsCanon: (doc_id, canonical), one row per mention
+    * (duplicates = evidence weight). The per-doc pairing is quadratic in the
+    * doc's distinct-entity count, so entities are capped at `maxPerDoc` per
+    * doc (keep top-k by mention count, name tie-break) BEFORE pairing — a
+    * boilerplate-heavy web doc mentioning 10^3 entities would otherwise
+    * produce 10^6 pair rows on its own. */
+  def cooccurrence(mentionsCanon: DataFrame, maxPerDoc: Int = 64): DataFrame = {
+    val counted = mentionsCanon.groupBy("doc_id", "canonical")
+      .agg(count(lit(1)).as("n_m"))
+    val m = counted
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("n_m").desc, col("canonical").asc)))
+      .filter(col("rk") <= maxPerDoc)
+      .select("doc_id", "canonical")
     val l = m.select(col("doc_id"), col("canonical").as("a"))
     val r = m.select(col("doc_id"), col("canonical").as("b"))
     l.join(r, Seq("doc_id")).filter(col("a") < col("b"))
@@ -151,10 +170,15 @@ object KgQueries {
       .withColumn("n_obs", lit(1L))
       .withColumn("provenance", array().cast(edges.schema("provenance").dataType))
       .withColumn("created_at", Materialize.CreatedAt)
+    // provenance merge is bounded like buildEdges' (the MERGE invariant keeps
+    // one row per key, so collect_list sees ≤2 arrays, but the CAP is what
+    // stops repeated addEdge calls from growing a hub edge's array forever)
     edges.unionByName(row)
       .groupBy("src_id", "dst_id", "pred").agg(
         first("pred_norm").as("pred_norm"), max("strength").as("strength"),
-        sum("n_obs").as("n_obs"), flatten(collect_list("provenance")).as("provenance"),
+        sum("n_obs").as("n_obs"),
+        slice(flatten(collect_list("provenance")), 1, Materialize.ProvenanceCap)
+          .as("provenance"),
         first("created_at").as("created_at"))
   }
 

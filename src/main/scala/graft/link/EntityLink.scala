@@ -47,21 +47,18 @@ object EntityLink {
       .withColumn("triple_id", xxhash64(col("doc_id"), col("span_idx")))
 
     // the alias table is dictionary-sized (broadcast side by design): split
-    // unique vs ambiguous on the driver — one collect instead of three
-    // aggregate jobs per run
-    val aliasRows = aliases.select("alias", "canonical", "prior")
-      .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
-    val ambiguousAliases = aliasRows.groupBy(_._1)
-      .filter(_._2.map(_._2).distinct.length > 1).keySet
-    val sparkS = raw.sparkSession
-    import sparkS.implicits._
-    val uniqueAliases = aliasRows.filter(r => !ambiguousAliases.contains(r._1))
-      .toSeq.toDF("alias", "canonical", "prior")
-    val ambiguous = aliasRows.filter(r => ambiguousAliases.contains(r._1))
-      .toSeq.toDF("alias", "canonical", "prior")
+    // unique vs ambiguous with two tiny aggregate/join jobs — no driver-side
+    // collect of the table
+    val flagged = aliases.select("alias", "canonical", "prior")
+      .join(aliases.groupBy("alias").agg(countDistinct("canonical").as("n_cands")),
+        Seq("alias"))
+    val uniqueAliases = flagged.filter(col("n_cands") === 1).drop("n_cands")
+    val ambiguous = flagged.filter(col("n_cands") > 1).drop("n_cands")
+      .localCheckpoint() // tiny; evaluated once for the emptiness probe + joins
 
+    // the TF-IDF context corpus is only scanned when ambiguity exists at all
     val (docVec, docNorm) =
-      if (ambiguousAliases.nonEmpty) docTermVectors(docsText) else (null, null)
+      if (!ambiguous.isEmpty) docTermVectors(docsText) else (null, null)
 
     val s1 = linkSimple(triples, uniqueAliases, ambiguous, docVec, docNorm, "subj")
     val s2 = linkSimple(s1, uniqueAliases, ambiguous, docVec, docNorm, "obj")

@@ -60,9 +60,18 @@ object Ann {
     * candidate if it collides with the query in ANY table). Exact cosine
     * runs on candidates only — the N×Q cross product never materializes.
     * Recall ≈ 1-(1-p^bits)^L with p = 1-θ/π. Output shape matches
-    * [[bruteTopK]]. */
+    * [[bruteTopK]].
+    *
+    * Scale guards: `bitsPerTable` defaults to 16 (65536 buckets/table —
+    * expected occupancy N/2^16, so candidates stay a vanishing fraction of
+    * N; size bits to ~log2(N) - log2(wanted bucket size) for other corpora)
+    * and each (table, bucket) contributes at most `maxBucket` corpus vectors
+    * (deterministic keep-lowest-vec_id rank), so a hot bucket — a dense
+    * region of embedding space — cannot re-grow the cross product. Queries
+    * look up their own bucket UNCAPPED, so a query inside a hot bucket still
+    * probes it. */
   def lshTopK(emb: DataFrame, queryIds: Seq[Long], k: Int, dim: Int,
-      nTables: Int = 8, bitsPerTable: Int = 4): DataFrame = {
+      nTables: Int = 8, bitsPerTable: Int = 16, maxBucket: Int = 256): DataFrame = {
     val planes = hyperplanes(dim, nTables * bitsPerTable)
     val e0 = emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
     // (vec_id, v, table, bucket) — one row per table
@@ -76,7 +85,10 @@ object Ann {
     val q = e.filter(col("vec_id").isin(queryIds: _*))
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
         col("table"), col("bucket"))
-    e.join(q, Seq("table", "bucket"))
+    val eCapped = e.withColumn("bucket_rank", row_number().over(
+        Window.partitionBy(col("table"), col("bucket")).orderBy(col("vec_id").asc)))
+      .filter(col("bucket_rank") <= maxBucket).drop("bucket_rank")
+    eCapped.join(q, Seq("table", "bucket"))
       .filter(col("vec_id") =!= col("query_id"))
       .select("query_id", "qv", "vec_id", "v").distinct() // union over tables
       .withColumn("cos5", round(

@@ -55,12 +55,22 @@ object TableIO {
 
   /** Commit `df` as the next snapshot of table `dir`: data to snap-<n>/,
     * per-partition row counters to _manifest/snap-<n>.json, then CURRENT is
-    * atomically repointed. Readers always see a complete snapshot. */
+    * atomically repointed. Readers always see a complete snapshot.
+    * Concurrent commits to the same table dir are safe: the snapshot id is
+    * claimed with an exclusive createDirectory (fails on exists → next id),
+    * so two writers can never interleave inside one snap dir. */
   def commitSnapshot(df: DataFrame, dir: String, stage: String): Unit = {
     val base = Paths.get(dir)
     Files.createDirectories(base)
-    val n = nextSnapshotId(base)
-    val snapDir = base.resolve(f"snap-$n%05d")
+    var n = nextSnapshotId(base)
+    var snapDir = base.resolve(f"snap-$n%05d")
+    var claimed = false
+    while (!claimed) {
+      try { Files.createDirectory(snapDir); claimed = true }
+      catch { case _: java.nio.file.FileAlreadyExistsException =>
+        n += 1; snapDir = base.resolve(f"snap-$n%05d")
+      }
+    }
     df.write.mode("overwrite").parquet(snapDir.toString)
     // per-partition lineage: row counts straight from parquet footers
     // (driver-side metadata read — no extra Spark job)
@@ -93,10 +103,14 @@ object TableIO {
     parquetFileRows(Paths.get(dir)).map(_._2).sum
 
   private def nextSnapshotId(base: Path): Int = {
-    val existing = if (Files.exists(base)) Files.list(base).iterator().asScala
-      .map(_.getFileName.toString).filter(_.startsWith("snap-"))
-      .map(_.stripPrefix("snap-").toInt).toSeq
-    else Seq.empty
+    val existing = if (!Files.exists(base)) Seq.empty
+    else {
+      val st = Files.list(base)
+      try st.iterator().asScala
+        .map(_.getFileName.toString).filter(_.startsWith("snap-"))
+        .map(_.stripPrefix("snap-").toInt).toSeq
+      finally st.close()
+    }
     if (existing.isEmpty) 0 else existing.max + 1
   }
 
@@ -159,13 +173,17 @@ object TableIO {
       val futures = (0 until nBuckets).map { b =>
         Future {
           val mPath = manifestDir.resolve(f"bucket-$b%04d.json")
-          val fp = s"$inputDir#bucket=$b"
+          val fp = bucketFingerprint(inputDir, b)
           val done = readPartitionMeta(mPath).exists(m =>
             m.status == "committed" && m.fingerprint == fp)
           if (!done) {
             // X5: retry with backoff per bucket — the reference's
             // RetryWithBackoff (kg-builder/internal/errors/errors.go:127-151)
-            // at partition granularity, on top of Spark's task retries
+            // at partition granularity, on top of Spark's task retries.
+            // Only plausibly-transient failures are retried (IO, task/stage
+            // failures); deterministic ones (analysis/schema errors, OOM)
+            // rethrow immediately — retrying those just delays and obscures
+            // the real failure. Every swallowed attempt is logged.
             var attempt = 0
             var committed = false
             while (!committed) {
@@ -187,8 +205,11 @@ object TableIO {
                   PartitionMeta(stage, b, "committed", inRows, outRows, ms, fp))
                 committed = true
               } catch {
-                case e: Throwable if attempt < maxRetries =>
+                case e: Throwable if attempt < maxRetries && isRetryable(e) =>
                   attempt += 1
+                  System.err.println(
+                    s"[runBucketed] $stage bucket=$b attempt $attempt failed " +
+                      s"(retrying): ${e.getClass.getSimpleName}: ${e.getMessage}")
                   Thread.sleep(backoffMs * (1L << (attempt - 1)))
               }
             }
@@ -200,6 +221,40 @@ object TableIO {
     } finally pool.shutdown()
     spark.read.option("basePath", base.resolve("data").toString)
       .parquet((0 until nBuckets).map(b => base.resolve("data").resolve(s"bucket=$b").toString): _*)
+  }
+
+  /** Transient-vs-deterministic failure taxonomy for the bucket retry loop:
+    * IO and Spark task/stage failures are worth a retry; analysis errors,
+    * schema mismatches and memory exhaustion are not. */
+  private[tables] def isRetryable(e: Throwable): Boolean = e match {
+    case _: org.apache.spark.sql.AnalysisException => false
+    case _: OutOfMemoryError => false
+    case _: java.io.IOException => true
+    case _: org.apache.spark.SparkException =>
+      // task/stage-level failures are transient-shaped unless they wrap a
+      // deterministic cause
+      Option(e.getCause).forall(isRetryable)
+    case _: RuntimeException => true // test hooks / wrapped transient faults
+    case _ => false
+  }
+
+  /** Content-derived resume fingerprint for one input bucket: path plus the
+    * bucket's parquet file names, sizes and mtimes. Regenerating the corpus
+    * under the same path invalidates committed buckets instead of silently
+    * serving stale outputs. */
+  private[tables] def bucketFingerprint(inputDir: String, b: Int): String = {
+    val dir = Paths.get(s"$inputDir/bucket=$b")
+    val files =
+      if (!Files.exists(dir)) "missing"
+      else {
+        val st = Files.list(dir)
+        try st.iterator().asScala
+          .filter(_.getFileName.toString.endsWith(".parquet"))
+          .map(p => s"${p.getFileName}:${Files.size(p)}:${Files.getLastModifiedTime(p).toMillis}")
+          .toSeq.sorted.mkString(",")
+        finally st.close()
+      }
+    s"$inputDir#bucket=$b#${java.util.UUID.nameUUIDFromBytes(files.getBytes("UTF-8"))}"
   }
 
   /** Ingest step: cluster the input by bucket for partition-pruned bucketed

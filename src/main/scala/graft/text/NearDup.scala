@@ -84,12 +84,25 @@ object NearDup extends Serializable {
     sig
   }
 
+  /** Base-128 positional code of the k chars at `i` — the Karp-Rabin-style
+    * rolling gram key (Schleimer et al. §4 use a rolling hash; a base-128
+    * positional code IS one, updatable in O(1), and — unlike a seeded
+    * murmur — exactly reproducible by any engine from `ascii(char) % 128`,
+    * so the DuckDB oracle can recompute fingerprints independently).
+    * k ≤ 9 keeps the value exact in a signed 64-bit integer. */
+  def gramKey(s: String, i: Int, k: Int): Long = {
+    var h = 0L
+    var j = 0
+    while (j < k) { h = (h << 7) + (s.charAt(i + j) & 0x7f); j += 1 }
+    h
+  }
+
   /** Winnowing: char k-gram rolling hashes, minimum per sliding window
     * (ties → rightmost), distinct. */
   def winnow(text: String, k: Int = 8, window: Int = 4): Array[Long] = {
     val s = text.toLowerCase
     if (s.length < k) return Array.empty
-    val grams = Array.tabulate(s.length - k + 1)(i => hash64(s.substring(i, i + k), 0x85ebca6b))
+    val grams = Array.tabulate(s.length - k + 1)(i => gramKey(s, i, k))
     if (grams.length <= window) return grams.distinct
     val out = scala.collection.mutable.LinkedHashSet.empty[Long]
     var w = 0
@@ -167,11 +180,19 @@ object NearDup extends Serializable {
   }
 
   /** SimHash near-dup candidates: equal 16-bit band → candidate, Hamming ≤
-    * maxHamming verifies (4-band pigeonhole ⇒ complete for Hamming ≤ 3).
-    * The signature is the codegen'd [[graft.functions.SimHash64Expr]] —
-    * the whole candidate generation stays inside whole-stage codegen. */
+    * maxHamming verifies (4-band pigeonhole ⇒ complete for Hamming ≤ 3,
+    * PROVIDED the band bucket survives the size cap). The signature is the
+    * codegen'd [[graft.functions.SimHash64Expr]] — the whole candidate
+    * generation stays inside whole-stage codegen.
+    *
+    * `maxBucket` is the same guard as [[candidatePairs]]': a hot band value
+    * (boilerplate-heavy web text collapses to few distinct band values)
+    * would make the band self-join quadratic; buckets larger than the cap
+    * are dropped entirely (they are near-certain boilerplate, and exact
+    * dedup catches the identical-text core of such clusters). Bucket sizes
+    * come from a map-side-combined count, so the hot key never fans out. */
   def simhashDupPairs(docs: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int = 3, maxBucket: Int = 64): DataFrame = {
     val sigs = docs.select(col(idCol).cast("long").as("id"),
         graft.functions.SimHash64Expr.simhash64(col(textCol)).as("sig"))
       .localCheckpoint()
@@ -181,8 +202,12 @@ object NearDup extends Serializable {
             .as("band_val"))): _*)).as("bb"))
       .select(col("id"), col("sig"), col("bb.band").as("band"),
         col("bb.band_val").as("band_val"))
-    val l = banded.select(col("id").as("a"), col("sig").as("sig_a"), col("band"), col("band_val"))
-    val r = banded.select(col("id").as("b"), col("sig").as("sig_b"), col("band"), col("band_val"))
+    val bucketSizes = banded.groupBy("band", "band_val")
+      .agg(count(lit(1)).as("bucket_n"))
+    val capped = banded.join(bucketSizes, Seq("band", "band_val"))
+      .filter(col("bucket_n") <= maxBucket).drop("bucket_n")
+    val l = capped.select(col("id").as("a"), col("sig").as("sig_a"), col("band"), col("band_val"))
+    val r = capped.select(col("id").as("b"), col("sig").as("sig_b"), col("band"), col("band_val"))
     l.join(r, Seq("band", "band_val")).filter(col("a") < col("b"))
       .select(col("a"), col("b"),
         bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))

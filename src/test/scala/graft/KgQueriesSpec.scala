@@ -43,6 +43,19 @@ class KgQueriesSpec extends SparkSuite {
     assert(pairs.forall(p => p._1 == "Statistics" || p._2 == "Statistics"))
   }
 
+  test("cooccurrence caps entities per doc (top-k by mention count, name tie-break)") {
+    val m = Seq(
+      ("d1", "A"), ("d1", "A"), ("d1", "B"), ("d1", "B"), ("d1", "C"), ("d1", "D"),
+      ("d2", "A"), ("d2", "B")
+    ).toDF("doc_id", "canonical")
+    // d1 keeps A,B (2 mentions each; C,D capped out); d2 keeps A,B
+    val capped = KgQueries.cooccurrence(m, maxPerDoc = 2)
+      .select("a", "b", "n_docs").as[(String, String, Long)].collect().toSet
+    assert(capped == Set(("A", "B", 2L)))
+    val uncapped = KgQueries.cooccurrence(m).filter(col("a") === "C" || col("b") === "C")
+    assert(uncapped.count() == 3) // C pairs with A, B, D without the cap
+  }
+
   test("enrichOnce adds only non-adjacent co-occurring pairs above threshold") {
     val mentions = Seq(
       ("d1", "Artificial Intelligence"), ("d1", "Statistics"),

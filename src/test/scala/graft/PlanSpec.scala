@@ -54,6 +54,16 @@ class PlanSpec extends SparkSuite {
     assert(!p.toLowerCase.contains("batchevalpython") && !p.contains("ScalaUDF"), p.take(2000))
   }
 
+  test("non-adjacent pairs: nested-loop sides are hash-sampled (TakeOrdered), never full node sets") {
+    val nodes = (1L to 500L).map(i => (i, f"node-$i%04d")).toDF("node_id", "name")
+    val edges = Seq((1L, 2L, "p")).toDF("src_id", "dst_id", "pred")
+    val df = graft.graph.KgQueries.nonAdjacentPairs(nodes, edges, 10)
+    val p = plan(df)
+    // two sampled join inputs + the final top-n pick = 3 TakeOrdered nodes
+    assert(countOccurrences(p, "TakeOrderedAndProject") >= 3, p.take(4000))
+    assert(df.count() == 10)
+  }
+
   private def countOccurrences(s: String, sub: String): Int =
     s.sliding(sub.length).count(_ == sub)
 }

@@ -95,9 +95,31 @@ class TextOpsSpec extends SparkSuite {
     val brute2 = Ann.bruteTopK(emb, Seq(0L, 1L), 5)
       .select("query_id", "rank", "vec_id").as[(Long, Int, Long)].collect().toSet
     assert(brute == brute2)
-    val lsh = Ann.lshTopK(emb, Seq(0L, 1L), 5, dim = 16)
+    // bits sized to the corpus: ~log2(N) - log2(bucket) → 4 bits at N=100
+    val lsh = Ann.lshTopK(emb, Seq(0L, 1L), 5, dim = 16, nTables = 8, bitsPerTable = 4)
       .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
     val bruteIds = brute.map(t => (t._1, t._3))
     assert((lsh & bruteIds).size >= 5, s"LSH recall too low: ${(lsh & bruteIds).size}/10")
+  }
+
+  test("simhash band-bucket cap drops hot buckets (quadratic-blowup guard)") {
+    val hot = (0L until 100L)
+      .map(i => (i, "identical boilerplate text shared by every single doc"))
+      .toDF("doc_id", "text")
+    // 100 identical docs → every band bucket holds 100 > 64 → dropped
+    assert(NearDup.simhashDupPairs(hot, "doc_id", "text").isEmpty)
+    val uncapped = NearDup.simhashDupPairs(hot, "doc_id", "text", maxBucket = 1000)
+    assert(uncapped.count() == 100L * 99 / 2)
+  }
+
+  test("lsh ANN per-bucket cap bounds candidates; hot-bucket query still probes") {
+    val hot = (0L until 80L)
+      .map(i => (i, Array.fill(8)(1.0f + 0.001f * i))).toDF("vec_id", "embedding")
+    // near-identical directions → one hot bucket per table; cap keeps the
+    // 10 lowest vec_ids as candidates, the query (rank 80) still probes
+    val ids = Ann.lshTopK(hot, Seq(79L), 5, dim = 8,
+        nTables = 2, bitsPerTable = 4, maxBucket = 10)
+      .select("vec_id").as[Long].collect().toSet
+    assert(ids.nonEmpty && ids.forall(_ < 10L), ids.toString)
   }
 }
