@@ -27,6 +27,15 @@ object Fixtures {
 
   val Root = "/root/repo/target/graftdata"
 
+  /** q_ann_lsh configuration, shared between the Spark query and the
+    * `lsh_planes` fixture the DuckDB oracle reads: 16 tables of 8 bits suits
+    * the 500-vector sf0.01 corpus (≈2 vectors/bucket); production default is
+    * 16 bits/table (size bits to ~log2(N) - log2(bucket size)). */
+  val AnnTables = 16
+  val AnnBits = 8
+  val AnnMaxBucket = 64
+  val AnnDim = 64
+
   def scaleDocs(sfDir: String): Long = {
     val base = Paths.get(sfDir).getFileName.toString
     base match {
@@ -50,7 +59,9 @@ object Fixtures {
 
   def ensure(spark: SparkSession, sfDir: String): String = synchronized {
     val r = root(sfDir)
-    val ready = Paths.get(r, "_READY")
+    // bump the suffix whenever fixture content changes so stale round-N
+    // fixtures regenerate (deterministic, ~30s at sf0.01)
+    val ready = Paths.get(r, "_READY_v2")
     if (Files.exists(ready)) return r
     import spark.implicits._
 
@@ -96,6 +107,13 @@ object Fixtures {
     Seq((0L, 9101L), (1L, 9102L), (2L, 9103L), (3L, 9104L), (4L, 9105L), (0L, 1L))
       .toDF("a", "b")
       .coalesce(1).write.mode("overwrite").parquet(s"$r/ngram_pairs")
+
+    // sign-LSH hyperplanes (same seeded doubles Ann.lshTopK derives) — lets
+    // the DuckDB oracle recompute bucket assignments bit-exactly
+    graft.sim.Ann.hyperplanes(AnnDim, AnnTables * AnnBits).zipWithIndex
+      .map { case (w, i) => (i / AnnBits, i % AnnBits, w.toSeq) }
+      .toSeq.toDF("tbl", "bit", "w")
+      .coalesce(1).write.mode("overwrite").parquet(s"$r/lsh_planes")
 
     Files.writeString(ready, "ok")
     r

@@ -166,25 +166,34 @@ object SparkEntry {
       graft.media.MediaFeatures.mediaEdges(
         Fixtures.edgesFlat(s, d), Fixtures.nodesFlat(s, d))
         .orderBy("node_id", "media_ref").limit(500)),
-    // --- MinHash+LSH near-dup (rows-only oracle: signature kernels are not
-    //     SQL-expressible) ---
+    // --- MinHash+LSH near-dup; oracle = exact all-pairs shingle-Jaccard in
+    //     DuckDB, so a green row proves 100% candidate recall at the
+    //     planted-duplicate fixture (zero misses, zero false positives) ---
     "q_minhash_pairs" -> ((s, d) =>
       graft.text.NearDup.minhashDupPairs(dedupDocs(s, d), "doc_id", "text")
         .select("a", "b").orderBy("a", "b")),
-    // --- SimHash near-dup (rows-only oracle) ---
+    // --- SimHash near-dup; md5-derived token hash makes the signature,
+    //     banding, bucket cap and Hamming filter exactly recomputable by the
+    //     DuckDB oracle ---
     "q_simhash_pairs" -> ((s, d) =>
       graft.text.NearDup.simhashDupPairs(dedupDocs(s, d), "doc_id", "text")
         .select("a", "b", "hamming").orderBy("a", "b")),
-    // --- winnowing fingerprints (rows-only oracle) ---
+    // --- winnowing fingerprints; base-128 positional gram key is the
+    //     rolling hash, recomputable in SQL from ascii()%128 ---
     "q_fingerprint_counts" -> ((s, d) =>
       graft.text.NearDup.fingerprints(dedupDocs(s, d), "doc_id", "text")
         .groupBy("doc_id").agg(countDistinct("fp").as("n_fp"))
         .orderBy("doc_id")),
-    // --- LSH-bucketed approximate ANN (rows-only oracle) ---
-    "q_ann_lsh" -> ((s, d) =>
+    // --- LSH-bucketed approximate ANN; oracle recomputes the sign-LSH
+    //     buckets from the lsh_planes fixture (same seeded doubles) ---
+    "q_ann_lsh" -> ((s, d) => {
+      Fixtures.ensure(s, d) // lsh_planes fixture for the oracle
       graft.sim.Ann.lshTopK(s.read.parquet(s"$d/embeddings.parquet"),
-        Seq(0L, 1L, 2L, 3L, 4L), 10, dim = 64)
-        .select("query_id", "rank", "vec_id").orderBy("query_id", "rank"))
+        Seq(0L, 1L, 2L, 3L, 4L), 10, dim = Fixtures.AnnDim,
+        nTables = Fixtures.AnnTables, bitsPerTable = Fixtures.AnnBits,
+        maxBucket = Fixtures.AnnMaxBucket)
+        .select("query_id", "rank", "vec_id").orderBy("query_id", "rank")
+    })
   )
 
   // ----------------------------------------------------------------- oracles
@@ -445,6 +454,100 @@ object SparkEntry {
          |  FROM pv WHERE p.media_ref <> '')
          |SELECT pm.node_id, n.name, 'has_media' AS pred_norm, pm.media_ref
          |FROM pm JOIN ${p("nodes_flat")} n USING (node_id)
-         |ORDER BY node_id, media_ref LIMIT 500""".stripMargin
+         |ORDER BY node_id, media_ref LIMIT 500""".stripMargin,
+    // exact all-pairs trigram-shingle Jaccard — ground truth for the
+    // MinHash-LSH path; equality proves full recall AND the >= threshold
+    // verify on this fixture
+    "q_minhash_pairs" ->
+      s"""WITH tok AS (SELECT doc_id AS id,
+         |  list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), w -> len(w) > 0) AS ts
+         |  FROM ${p("dedup_docs")}),
+         |sh AS (SELECT DISTINCT id, array_to_string(ts[i:i+2], ' ') AS g
+         |  FROM tok, UNNEST(generate_series(1, len(ts) - 2)) AS u(i) WHERE len(ts) >= 3),
+         |cnt AS (SELECT id, count(*) AS n FROM sh GROUP BY id),
+         |inter AS (SELECT a.id AS a, b.id AS b, count(*) AS ni
+         |  FROM sh a JOIN sh b ON a.g = b.g AND a.id < b.id GROUP BY 1, 2)
+         |SELECT i.a, i.b
+         |FROM inter i JOIN cnt ca ON ca.id = i.a JOIN cnt cb ON cb.id = i.b
+         |WHERE ni * 1.0 / (ca.n + cb.n - ni) >= 0.5 ORDER BY a, b""".stripMargin,
+    // full independent re-derivation of the simhash pipeline: md5-derived
+    // per-token 64-bit hash -> per-bit majority signature -> 4x16-bit bands
+    // -> bucket cap 64 -> Hamming <= 3
+    "q_simhash_pairs" ->
+      s"""WITH tk AS (SELECT doc_id AS id,
+         |  unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+         |         w -> len(w) > 0)) AS tok
+         |  FROM ${p("dedup_docs")}),
+         |th AS (SELECT id, ('0x' || substr(md5(tok), 1, 16))::UBIGINT AS h FROM tk),
+         |bits AS (SELECT id, bb.b AS bit,
+         |  sum(CASE WHEN (h >> bb.b) & 1 = 1 THEN 1 ELSE -1 END) AS cnt
+         |  FROM th, (SELECT unnest(generate_series(0, 63)) AS b) bb GROUP BY 1, 2),
+         |sig AS (SELECT id,
+         |  CAST(sum(CASE WHEN cnt > 0 THEN (1::UBIGINT << bit) ELSE 0 END) AS UBIGINT) AS sg
+         |  FROM bits GROUP BY id),
+         |bd AS (SELECT id, sg, bb.b AS band,
+         |  CAST((sg >> (bb.b * 16)) & 65535 AS BIGINT) AS band_val
+         |  FROM sig, (SELECT unnest(generate_series(0, 3)) AS b) bb),
+         |bn AS (SELECT band, band_val, count(*) AS n FROM bd GROUP BY 1, 2),
+         |cp AS (SELECT bd.* FROM bd JOIN bn USING (band, band_val) WHERE bn.n <= 64),
+         |pr AS (SELECT DISTINCT l.id AS a, r.id AS b,
+         |  CAST(bit_count(xor(l.sg, r.sg)) AS INTEGER) AS hamming
+         |  FROM cp l JOIN cp r ON l.band = r.band AND l.band_val = r.band_val
+         |    AND l.id < r.id)
+         |SELECT a, b, hamming FROM pr WHERE hamming <= 3 ORDER BY a, b""".stripMargin,
+    // independent winnowing re-implementation: base-128 positional 8-gram
+    // keys, min per 4-window (fingerprint identity = key value, so tie
+    // position is irrelevant), all-distinct when fewer grams than a window
+    "q_fingerprint_counts" -> {
+      val pows = Seq(562949953421312L, 4398046511104L, 34359738368L,
+        268435456L, 2097152L, 16384L, 128L, 1L)
+      val terms = pows.zipWithIndex
+        .map { case (pw, j) => s"(ascii(substr(t, i + $j, 1)) % 128)::BIGINT * $pw" }
+        .mkString(" +\n         |    ")
+      s"""WITH d AS (SELECT doc_id, lower(text) AS t FROM ${p("dedup_docs")}
+         |  WHERE length(text) >= 8),
+         |g AS (SELECT doc_id, i,
+         |    $terms AS h
+         |  FROM d, UNNEST(generate_series(1, length(t) - 7)) AS u(i)),
+         |n AS (SELECT doc_id, count(*) AS ng FROM g GROUP BY doc_id),
+         |wm AS (SELECT doc_id, i, min(h) OVER (PARTITION BY doc_id ORDER BY i
+         |  ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS mh FROM g),
+         |sel AS (
+         |  SELECT w.doc_id, w.mh AS fp FROM wm w JOIN n USING (doc_id)
+         |  WHERE n.ng > 4 AND w.i <= n.ng - 3
+         |  UNION
+         |  SELECT g.doc_id, g.h AS fp FROM g JOIN n USING (doc_id) WHERE n.ng <= 4)
+         |SELECT doc_id, count(DISTINCT fp) AS n_fp FROM sel GROUP BY doc_id
+         |ORDER BY doc_id""".stripMargin
+    },
+    // sign-LSH buckets recomputed from the lsh_planes fixture (identical
+    // seeded doubles; list_dot_product on the same double arrays), then the
+    // same per-bucket cap, candidate union, exact-cosine scoring and top-k
+    "q_ann_lsh" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+         |  FROM read_parquet('/root/testdata/sf0.01/embeddings.parquet')),
+         |pl AS (SELECT tbl, bit, w::DOUBLE[] AS w FROM ${p("lsh_planes")}),
+         |bk AS (SELECT e.vec_id, pl.tbl,
+         |  CAST(sum(CASE WHEN list_dot_product(e.v, pl.w) >= 0
+         |           THEN (1::BIGINT << pl.bit) ELSE 0 END) AS BIGINT) AS bucket
+         |  FROM e CROSS JOIN pl GROUP BY 1, 2),
+         |qb AS (SELECT vec_id AS query_id, tbl, bucket FROM bk
+         |  WHERE vec_id IN (0, 1, 2, 3, 4)),
+         |ecap AS (SELECT vec_id, tbl, bucket FROM (
+         |  SELECT vec_id, tbl, bucket,
+         |    row_number() OVER (PARTITION BY tbl, bucket ORDER BY vec_id) AS rk
+         |  FROM bk) WHERE rk <= ${Fixtures.AnnMaxBucket}),
+         |cand AS (SELECT DISTINCT qb.query_id, ec.vec_id
+         |  FROM qb JOIN ecap ec ON qb.tbl = ec.tbl AND qb.bucket = ec.bucket
+         |  WHERE ec.vec_id <> qb.query_id),
+         |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id IN (0, 1, 2, 3, 4)),
+         |s AS (SELECT c.query_id, c.vec_id,
+         |  round(list_dot_product(e.v, q.qv) /
+         |        (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qv, q.qv))), 5) AS cos5
+         |  FROM cand c JOIN e ON e.vec_id = c.vec_id JOIN q ON q.query_id = c.query_id),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+         |  ORDER BY cos5 DESC, vec_id ASC) AS rk FROM s)
+         |SELECT query_id, CAST(rk AS INTEGER) AS rank, vec_id FROM r WHERE rk <= 10
+         |ORDER BY query_id, rank""".stripMargin
   )
 }

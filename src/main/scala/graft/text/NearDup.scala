@@ -68,10 +68,30 @@ object NearDup extends Serializable {
     sig
   }
 
+  private val md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** First 8 bytes of md5(s), big-endian. The simhash token hash uses md5
+    * rather than a seeded murmur so the signature is exactly recomputable by
+    * any engine — the DuckDB oracle derives the same 64 bits with
+    * `('0x' || substr(md5(t), 1, 16))::UBIGINT` and re-runs the whole
+    * banding/capping/Hamming pipeline independently. */
+  def md5First64(s: String): Long = {
+    val md = md5Local.get()
+    md.reset()
+    val d = md.digest(s.getBytes("UTF-8"))
+    var h = 0L
+    var i = 0
+    while (i < 8) { h = (h << 8) | (d(i) & 0xffL); i += 1 }
+    h
+  }
+
   def simhash64(text: String): Long = {
     val counts = new Array[Int](64)
     for (t <- tokensOf(text)) {
-      val h = hash64(t, 0x1b873593)
+      val h = md5First64(t)
       var b = 0
       while (b < 64) {
         if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
