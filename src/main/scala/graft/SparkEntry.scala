@@ -74,6 +74,22 @@ object SparkEntry {
     "q_cooccurrence" -> ((s, d) =>
       KgQueries.cooccurrence(mentionsCanon(s, d), maxPerDoc = 8)
         .filter(col("n_docs") >= 3).orderBy("a", "b")),
+    // --- edge/node description metadata (MERGE-on-create semantics) ---
+    "q_edge_descriptions" -> ((s, d) => {
+      val n = Fixtures.nodesFlat(s, d)
+      Fixtures.edgesFlat(s, d)
+        .join(n.select(col("node_id").as("src_id"), col("name").as("subj")), Seq("src_id"))
+        .join(n.select(col("node_id").as("dst_id"), col("name").as("obj")), Seq("dst_id"))
+        .select("subj", "pred_norm", "obj", "description")
+        .distinct().orderBy("subj", "pred_norm", "obj")
+    }),
+    "q_node_descriptions" -> ((s, d) =>
+      Fixtures.nodesFlat(s, d).select("name", "description").orderBy("name")),
+    // --- J1 ConceptExists (left-semi) ---
+    "q_concept_exists" -> ((s, d) => {
+      val cands = s.read.parquet(s"${Fixtures.ensure(s, d)}/candidates")
+      KgQueries.existingConcepts(cands, Fixtures.nodesFlat(s, d)).orderBy("name")
+    }),
     // --- J4 non-adjacent candidate pairs (deterministic sampling) ---
     "q_nonadjacent_pairs" -> ((s, d) =>
       KgQueries.nonAdjacentPairs(Fixtures.nodesFlat(s, d), Fixtures.edgesFlat(s, d), 20)),
@@ -224,34 +240,61 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] = kgOracles ++ textOracles
 
+  /** Shared independent re-derivation of the valid extracted triple set
+    * (doc_id, subj, pred verbatim, obj) — the flagship chain. */
+  private val extValidCte =
+    s"""$aliasBaitCte,
+       |sp AS (SELECT doc_id, unnest(spans) AS s FROM ${p("docs_flat")}),
+       |t0 AS (SELECT doc_id, s.text AS t FROM sp WHERE s.kind = 'text'),
+       |t1 AS (SELECT doc_id, CASE WHEN starts_with(t, 'It is documented that ')
+       |  THEN substr(t, 23) ELSE t END AS t FROM t0),
+       |t2 AS (SELECT doc_id, CASE
+       |  WHEN ends_with(t, ', according to the survey.') THEN substr(t, 1, length(t) - 26)
+       |  WHEN ends_with(t, '.') THEN substr(t, 1, length(t) - 1)
+       |  ELSE t END AS t FROM t1),
+       |subj AS (SELECT doc_id, t, alias, canonical,
+       |  row_number() OVER (PARTITION BY doc_id, t ORDER BY length(alias) DESC, alias) AS rn
+       |  FROM t2 JOIN al ON starts_with(t, alias || ' ')),
+       |obj AS (SELECT doc_id, t, alias, canonical,
+       |  row_number() OVER (PARTITION BY doc_id, t ORDER BY length(alias) DESC, alias) AS rn
+       |  FROM t2 JOIN al ON ends_with(t, ' ' || alias)),
+       |ext AS (SELECT s.doc_id, s.canonical AS subj,
+       |  trim(substr(s.t, length(s.alias) + 1,
+       |       length(s.t) - length(s.alias) - length(o.alias) - 1)) AS pred,
+       |  o.canonical AS obj
+       |  FROM (SELECT * FROM subj WHERE rn = 1) s
+       |  JOIN (SELECT * FROM obj WHERE rn = 1) o ON s.doc_id = o.doc_id AND s.t = o.t),
+       |extv AS (SELECT * FROM ext
+       |  WHERE pred NOT IN ('related to', 'is related to', 'relates to')
+       |    AND length(trim(pred)) > 0)""".stripMargin
+
   def kgOracles: Map[String, String] = Map(
     "q_pipeline_triples" ->
-      s"""WITH $aliasBaitCte,
-         |sp AS (SELECT doc_id, unnest(spans) AS s FROM ${p("docs_flat")}),
-         |t0 AS (SELECT doc_id, s.text AS t FROM sp WHERE s.kind = 'text'),
-         |t1 AS (SELECT doc_id, CASE WHEN starts_with(t, 'It is documented that ')
-         |  THEN substr(t, 23) ELSE t END AS t FROM t0),
-         |t2 AS (SELECT doc_id, CASE
-         |  WHEN ends_with(t, ', according to the survey.') THEN substr(t, 1, length(t) - 26)
-         |  WHEN ends_with(t, '.') THEN substr(t, 1, length(t) - 1)
-         |  ELSE t END AS t FROM t1),
-         |subj AS (SELECT doc_id, t, alias, canonical,
-         |  row_number() OVER (PARTITION BY doc_id, t ORDER BY length(alias) DESC, alias) AS rn
-         |  FROM t2 JOIN al ON starts_with(t, alias || ' ')),
-         |obj AS (SELECT doc_id, t, alias, canonical,
-         |  row_number() OVER (PARTITION BY doc_id, t ORDER BY length(alias) DESC, alias) AS rn
-         |  FROM t2 JOIN al ON ends_with(t, ' ' || alias)),
-         |ext AS (SELECT s.canonical AS subj,
-         |  trim(substr(s.t, length(s.alias) + 1,
-         |       length(s.t) - length(s.alias) - length(o.alias) - 1)) AS pred,
-         |  o.canonical AS obj
-         |  FROM (SELECT * FROM subj WHERE rn = 1) s
-         |  JOIN (SELECT * FROM obj WHERE rn = 1) o ON s.doc_id = o.doc_id AND s.t = o.t)
+      s"""WITH $extValidCte
          |SELECT DISTINCT subj, lower(replace(pred, ' ', '_')) AS pred_norm, obj
-         |FROM ext
-         |WHERE pred NOT IN ('related to', 'is related to', 'relates to')
-         |  AND length(trim(pred)) > 0
+         |FROM extv
          |ORDER BY subj, pred_norm, obj""".stripMargin,
+    // edge description: canonical sentence rendering of the (subj,pred,obj)
+    // key — constant per edge, so MERGE keeps it; re-derived independently
+    "q_edge_descriptions" ->
+      s"""WITH $extValidCte,
+         |ed AS (SELECT DISTINCT subj, pred, obj FROM extv)
+         |SELECT subj, lower(replace(pred, ' ', '_')) AS pred_norm, obj,
+         |  subj || ' ' || pred || ' ' || obj AS description
+         |FROM ed ORDER BY subj, pred_norm, obj""".stripMargin,
+    // node description: lexicographically-first incident evidence sentence
+    "q_node_descriptions" ->
+      s"""WITH $extValidCte,
+         |ed AS (SELECT DISTINCT subj, pred, obj FROM extv),
+         |dd AS (SELECT subj, obj, subj || ' ' || pred || ' ' || obj AS d FROM ed),
+         |nd AS (SELECT subj AS name, d FROM dd UNION ALL SELECT obj, d FROM dd)
+         |SELECT name, min(d) AS description FROM nd GROUP BY name
+         |ORDER BY name""".stripMargin,
+    // J1 ConceptExists as a left-semi join
+    "q_concept_exists" ->
+      s"""SELECT name FROM ${p("candidates")}
+         |WHERE name IN (SELECT name FROM ${p("nodes_flat")})
+         |ORDER BY name""".stripMargin,
     "q_mention_spans" ->
       s"""WITH sp0 AS (SELECT doc_id, generate_subscripts(spans, 1) - 1 AS span_idx,
          |  unnest(spans) AS s FROM ${p("docs_flat")}),

@@ -125,7 +125,8 @@ object KgQueries {
       .select(col("a_id").as("src_id"), col("b_id").as("dst_id"),
         lit("CoOccursWith").as("pred"), lit("cooccurswith").as("pred_norm"),
         round(lit(1.0) - lit(1.0) / (col("n_docs") + 1), 6).as("strength"),
-        col("n_docs"))
+        col("n_docs"),
+        concat(col("a"), lit(" co-occurs with "), col("b")).as("description"))
   }
 
   /** G1/O6: seed-BFS reachability as an iterative DataFrame loop — the
@@ -160,7 +161,9 @@ object KgQueries {
       .select("node_id", "name", "hops")
   }
 
-  /** S13: manual edge creation by node id (REST POST /api/relationships). */
+  /** S13: manual edge creation by node id (REST POST /api/relationships).
+    * MERGE semantics on (src,dst,pred); `description` is ON-CREATE-only —
+    * an existing edge's description wins over the incoming row's. */
   def addEdge(edges: DataFrame, srcId: Long, dstId: Long, pred: String): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
@@ -168,15 +171,18 @@ object KgQueries {
       .withColumn("pred_norm", Materialize.normPred(col("pred")))
       .withColumn("strength", lit(1.0))
       .withColumn("n_obs", lit(1L))
+      .withColumn("description", lit(s"Manually added: $pred"))
       .withColumn("provenance", array().cast(edges.schema("provenance").dataType))
       .withColumn("created_at", Materialize.CreatedAt)
     // provenance merge is bounded like buildEdges' (the MERGE invariant keeps
     // one row per key, so collect_list sees ≤2 arrays, but the CAP is what
     // stops repeated addEdge calls from growing a hub edge's array forever)
-    edges.unionByName(row)
+    edges.withColumn("is_new", lit(0)).unionByName(row.withColumn("is_new", lit(1)))
       .groupBy("src_id", "dst_id", "pred").agg(
         first("pred_norm").as("pred_norm"), max("strength").as("strength"),
         sum("n_obs").as("n_obs"),
+        min(struct(col("is_new"), col("description")))
+          .getField("description").as("description"), // create-wins
         slice(flatten(collect_list("provenance")), 1, Materialize.ProvenanceCap)
           .as("provenance"),
         first("created_at").as("created_at"))

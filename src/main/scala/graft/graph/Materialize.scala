@@ -101,17 +101,29 @@ object Materialize {
   }
 
   /** Edge materialization: remap endpoints through the (broadcast) resolve
-    * map, then a single bounded hash aggregate per (src,dst,pred). */
+    * map, then a single bounded hash aggregate per (src,dst,pred).
+    *
+    * `description` mirrors the reference's relationship Description with
+    * MERGE-on-create semantics (ON CREATE SET r.description,
+    * /root/reference/internal/common/neo4j/neo4j.go:107-151): the canonical
+    * sentence rendering "<rep subj> <pred verbatim> <rep obj>". The key
+    * fixes all three parts, so it is constant per edge and any later merge
+    * keeps it unchanged — exactly "first writer wins", batch-deterministic. */
   def buildEdges(linked: DataFrame, resolve: DataFrame): DataFrame = {
-    val subjMap = resolve.select(col("name").as("subj"), col("rep_id").as("src_id"))
-    val objMap = resolve.select(col("name").as("obj"), col("rep_id").as("dst_id"))
+    val subjMap = resolve.select(col("name").as("subj"),
+      col("rep_id").as("src_id"), col("rep_name").as("src_name"))
+    val objMap = resolve.select(col("name").as("obj"),
+      col("rep_id").as("dst_id"), col("rep_name").as("dst_name"))
     linked
       .join(broadcast(subjMap), Seq("subj"))
       .join(broadcast(objMap), Seq("obj"))
+      .withColumn("desc",
+        concat_ws(" ", col("src_name"), col("pred"), col("dst_name")))
       .groupBy(col("src_id"), col("dst_id"), col("pred"))
       .agg(
         count(lit(1)).as("n_obs"),
         sum(col("score")).as("score_sum"),
+        min(col("desc")).as("description"),
         bounded_collect_list(
           struct(col("doc_id"), col("span_idx"), col("media_ref")),
           ProvenanceCap).as("provenance"))
@@ -119,19 +131,28 @@ object Materialize {
       .withColumn("strength", round(col("score_sum") / col("n_obs"), 6))
       .withColumn("created_at", CreatedAt)
       .select("src_id", "dst_id", "pred", "pred_norm", "strength", "n_obs",
-        "provenance", "created_at")
+        "description", "provenance", "created_at")
   }
 
   /** Node table from component representatives; G4 orphan drop against the
-    * MATERIALIZED edges (no recompute of the edge aggregate). */
+    * MATERIALIZED edges (no recompute of the edge aggregate).
+    *
+    * Node `description` = the lexicographically-first evidence sentence
+    * among the node's incident edges (the reference's Concept.Description
+    * is LLM-authored; a deterministic MERGE-on-create analog needs a stable
+    * pick order, and evidence order is engine-reproducible). */
   def buildNodes(resolve: DataFrame, edgesT: DataFrame): DataFrame = {
-    val touched = edgesT.select(col("src_id").as("node_id"))
-      .union(edgesT.select(col("dst_id").as("node_id"))).distinct()
+    val incident = edgesT.select(col("src_id").as("node_id"), col("description"))
+      .unionAll(edgesT.select(col("dst_id").as("node_id"), col("description")))
+    val descs = incident.groupBy("node_id").agg(min("description").as("description"))
     resolve.select(col("rep_id").as("node_id"), col("rep_name").as("name"))
       .distinct()
       .withColumn("canonical_name", col("name"))
       .withColumn("created_at", CreatedAt)
-      .join(touched, Seq("node_id"), "left_semi")
+      // inner join = G4 orphan drop (descs only holds edge-touched nodes)
+      // and description attach in one pass
+      .join(descs, Seq("node_id"))
+      .select("node_id", "name", "canonical_name", "description", "created_at")
   }
 
   /** Legacy single-call build (tests / small corpora). */

@@ -17,6 +17,7 @@ class KgQueriesSpec extends SparkSuite {
     .withColumn("pred_norm", Materialize.normPred(col("pred")))
     .withColumn("strength", lit(1.0))
     .withColumn("n_obs", lit(1L))
+    .withColumn("description", lit("fixture edge"))
     .withColumn("provenance",
       typedLit(Seq.empty[(String, Int, String)])
         .cast("array<struct<doc_id:string,span_idx:int,media_ref:string>>"))
@@ -75,6 +76,12 @@ class KgQueriesSpec extends SparkSuite {
     val row = twice.filter(col("src_id") === 9L)
       .select("pred_norm", "n_obs").as[(String, Long)].collect()
     assert(row.toSeq == Seq(("hand_made", 2L)))
+    // description is ON-CREATE-only: an existing edge's wins over the row's
+    val over = KgQueries.addEdge(edges, 1L, 2L, "Includes")
+    assert(over.filter(col("src_id") === 1L && col("dst_id") === 2L)
+      .select("description").as[String].head() == "fixture edge")
+    assert(twice.filter(col("src_id") === 9L)
+      .select("description").as[String].head() == "Manually added: Hand Made")
   }
 
   test("cleanup drops empty-pred edges and orphan nodes") {
@@ -102,6 +109,7 @@ class KgQueriesSpec extends SparkSuite {
       Seq((3L, 1L, "Back")).toDF("src_id", "dst_id", "pred")
         .withColumn("pred_norm", lit("back")).withColumn("strength", lit(1.0))
         .withColumn("n_obs", lit(1L))
+        .withColumn("description", lit("fixture edge"))
         .withColumn("provenance", typedLit(Seq.empty[(String, Int, String)])
           .cast("array<struct<doc_id:string,span_idx:int,media_ref:string>>"))
         .withColumn("created_at", Materialize.CreatedAt))
