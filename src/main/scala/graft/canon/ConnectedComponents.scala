@@ -22,9 +22,13 @@ import org.apache.spark.sql.functions._
 object ConnectedComponents {
 
   /** @param edges DataFrame with long columns (src, dst), undirected.
+    * @param onIter observer called per iteration with (iteration, edge count
+    *        after small-star) — lets tests assert the per-iteration shuffle
+    *        volume stays bounded (hub components contract, never blow up).
     * @return (id: Long, component: Long) — every id appearing in `edges`,
     *         component = min id of its connected component. */
-  def run(spark: SparkSession, edges: DataFrame, maxIter: Int = 20): DataFrame = {
+  def run(spark: SparkSession, edges: DataFrame, maxIter: Int = 20,
+      onIter: (Int, Long) => Unit = (_, _) => ()): DataFrame = {
     var e = edges.select(col("src").cast("long"), col("dst").cast("long"))
       .filter(col("src") =!= col("dst"))
       .select(greatest(col("src"), col("dst")).as("u"), least(col("src"), col("dst")).as("v"))
@@ -68,6 +72,7 @@ object ConnectedComponents {
       prevFp = cur
       e = small
       iter += 1
+      onIter(iter, cur._2)
     }
 
     // After convergence every edge is (member, root). Add singleton roots.

@@ -15,6 +15,9 @@ final class KgSession(val spark: SparkSession, val workDir: String) {
 
   private def conf = Pipeline.Conf(workDir = workDir)
 
+  /** Edges table directory (snapshot commits, e.g. the enricher's). */
+  def edgesDir: String = Pipeline.edgesDir(conf)
+
   def nodes: DataFrame = TableIO.readCurrent(spark, Pipeline.nodesDir(conf))
   def edges: DataFrame = TableIO.readCurrent(spark, Pipeline.edgesDir(conf))
   def triples: DataFrame = TableIO.readCurrent(spark, Pipeline.triplesDir(conf))

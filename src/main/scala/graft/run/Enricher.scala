@@ -1,0 +1,96 @@
+package graft.run
+
+import graft.graph.{KgQueries, KgSession, Materialize}
+import graft.tables.TableIO
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import java.util.concurrent.atomic.{AtomicBoolean, AtomicLong}
+
+/** G7: the continuous-enrichment lifecycle — the reference enricher's
+  * Start/Stop/IsRunning ticker with its `max_relationships` stop condition
+  * (/root/reference/kg-enricher/internal/enricher/enricher.go:61-130,
+  * 210-235), over the deterministic co-occurrence miner instead of an LLM.
+  *
+  * Each tick appends at most `batch` new non-adjacent CoOccursWith edges as
+  * an edges-table snapshot commit; ticks see the PREVIOUS tick's edges, so
+  * the anti-join naturally walks down the candidate ranking. The runner
+  * stops itself when `maxRelationships` edges have been added or the candidate
+  * pool is drained (a tick adds nothing).
+  */
+final class Enricher(kg: KgSession, mentionsCanon: DataFrame, conf: Enricher.Conf) {
+
+  private val runningFlag = new AtomicBoolean(false)
+  private val addedCount = new AtomicLong(0L)
+  @volatile private var worker: Thread = _
+
+  def isRunning: Boolean = runningFlag.get()
+  def added: Long = addedCount.get()
+
+  /** One enrichment pass (the reference's RunOnce/processBatch): append up
+    * to min(batch, remaining) new edges; returns how many were added. */
+  def runOnce(): Long = synchronized {
+    val remaining = conf.maxRelationships - addedCount.get()
+    if (remaining <= 0) return 0L
+    val edges = kg.edges
+    val newE = KgQueries.enrichOnce(kg.nodes, edges, mentionsCanon,
+        conf.minDocs, math.min(conf.batch.toLong, remaining).toInt)
+      .withColumnRenamed("n_docs", "n_obs")
+      .withColumn("provenance",
+        typedLit(Seq.empty[(String, Int, String)])
+          .cast(edges.schema("provenance").dataType))
+      .withColumn("created_at", Materialize.CreatedAt)
+      .select(edges.columns.map(col): _*)
+      .localCheckpoint() // evaluate once: counted AND committed
+    val n = newE.count()
+    if (n > 0) {
+      TableIO.commitSnapshot(edges.unionByName(newE), kg.edgesDir, "edges")
+      addedCount.addAndGet(n)
+    }
+    n
+  }
+
+  /** Start the ticker; no-op if already running. */
+  def start(): Unit = if (runningFlag.compareAndSet(false, true)) {
+    worker = new Thread(() => {
+      try {
+        var drained = false
+        while (runningFlag.get() && !drained &&
+            addedCount.get() < conf.maxRelationships) {
+          drained = runOnce() == 0
+          if (!drained && addedCount.get() < conf.maxRelationships)
+            try Thread.sleep(conf.intervalMs)
+            catch { case _: InterruptedException => () }
+        }
+      } finally runningFlag.set(false)
+    }, "graft-enricher")
+    worker.setDaemon(true)
+    worker.start()
+  }
+
+  /** Stop the ticker and wait for the in-flight tick to finish. */
+  def stop(): Unit = {
+    runningFlag.set(false)
+    val w = worker
+    if (w != null) { w.interrupt(); w.join(60000) }
+  }
+
+  /** Block until the runner stops on its own (cap reached or drained). */
+  def awaitStopped(timeoutMs: Long = 120000): Boolean = {
+    val t0 = System.currentTimeMillis()
+    while (isRunning && System.currentTimeMillis() - t0 < timeoutMs)
+      Thread.sleep(20)
+    !isRunning
+  }
+}
+
+object Enricher {
+  /** @param minDocs co-occurrence evidence threshold
+    * @param batch max edges per tick
+    * @param maxRelationships total cap, the enricher's stop condition
+    * @param intervalMs ticker interval */
+  final case class Conf(
+      minDocs: Long = 3,
+      batch: Int = 10,
+      maxRelationships: Long = 50,
+      intervalMs: Long = 1000)
+}

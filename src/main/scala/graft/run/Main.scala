@@ -5,24 +5,20 @@ import graft.tables.TableIO
 import org.apache.spark.sql.SparkSession
 
 /** spark-submit entry point — the reference's builder main
-  * (/root/reference/cmd/kg-builder/main.go:21) reshaped: config from
-  * `--key=value` args (the S7 precedence chain defaults < args mirrors the
-  * reference's defaults < YAML < env < flags), stage orchestration with
-  * resume, run-metrics manifest, and the closing statistics printout
-  * (mirrors showStatistics, main.go:178-193).
+  * (/root/reference/cmd/kg-builder/main.go:21) reshaped: config via the full
+  * S7 precedence chain (defaults < `--conf=<file>` < GRAFT_* env < flags,
+  * [[Config]]), stage orchestration with resume, run-metrics manifest, and
+  * the closing statistics printout (mirrors showStatistics,
+  * main.go:178-193).
   *
   * Usage (local example):
   *   spark-submit --class graft.run.Main <jar> \
-  *     --workDir=/tmp/kg --nDocs=100000 --nBuckets=32 --concurrency=8 \
-  *     --fastExtract=false --enrich=true
+  *     --conf=/etc/graft.conf --workDir=/tmp/kg --nDocs=100000 \
+  *     --nBuckets=32 --concurrency=8 --fastExtract=false --enrich=true
   */
 object Main {
 
-  def parseArgs(args: Array[String]): Map[String, String] =
-    args.filter(_.startsWith("--")).map { a =>
-      val kv = a.stripPrefix("--").split("=", 2)
-      kv(0) -> (if (kv.length > 1) kv(1) else "true")
-    }.toMap
+  def parseArgs(args: Array[String]): Map[String, String] = Config.parseFlags(args)
 
   def confFrom(m: Map[String, String]): Pipeline.Conf = Pipeline.Conf(
     workDir = m.getOrElse("workDir", "/root/repo/target/kg-run"),
@@ -33,7 +29,7 @@ object Main {
     fastExtract = m.getOrElse("fastExtract", "false").toBoolean)
 
   def main(args: Array[String]): Unit = {
-    val opts = parseArgs(args)
+    val opts = Config.resolve(args)
     val spark = SparkSession.getActiveSession.getOrElse(
       SparkSession.builder()
         .master(opts.getOrElse("master", "local[8]"))
@@ -51,7 +47,7 @@ object Main {
     val out = Pipeline.run(spark, c)
 
     // optional enrichment pass (the reference's MineRandomRelationships /
-    // enricher RunOnce, G6/G7)
+    // enricher RunOnce, G6/G7) — one tick of the Enricher lifecycle
     if (opts.getOrElse("enrich", "false").toBoolean) {
       import org.apache.spark.sql.functions._
       val aliases = spark.read.parquet(Pipeline.aliasesPath(c))
@@ -62,17 +58,11 @@ object Main {
           out.docs.drop("bucket").as[graft.model.Doc], dict).toDF()
         .join(broadcast(aliases), col("surface") === col("alias"))
         .select("doc_id", "canonical")
-      val newEdges = KgQueries.enrichOnce(out.nodes, out.edges, mentions,
-        minDocs = opts.getOrElse("enrichMinDocs", "3").toLong,
-        maxNew = opts.getOrElse("enrichMax", "50").toInt)
-      val enriched = out.edges.unionByName(newEdges
-        .withColumnRenamed("n_docs", "n_obs")
-        .withColumn("pred", lit("CoOccursWith"))
-        .withColumn("provenance", typedLit(Seq.empty[(String, Int, String)])
-          .cast(out.edges.schema("provenance").dataType))
-        .withColumn("created_at", graft.graph.Materialize.CreatedAt)
-        .select(out.edges.columns.map(col): _*))
-      TableIO.commitSnapshot(enriched, Pipeline.edgesDir(c), "edges")
+      val max = opts.getOrElse("enrichMax", "50").toInt
+      new Enricher(graft.graph.KgSession.open(spark, c.workDir), mentions,
+        Enricher.Conf(
+          minDocs = opts.getOrElse("enrichMinDocs", "3").toLong,
+          batch = max, maxRelationships = max.toLong)).runOnce()
     }
 
     val wallSec = (System.nanoTime() - t0) / 1e9

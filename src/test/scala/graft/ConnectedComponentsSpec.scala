@@ -43,6 +43,29 @@ class ConnectedComponentsSpec extends SparkSuite {
     }
   }
 
+  test("hub component: 10^5-member star + chain converge, per-iteration shuffle stays bounded") {
+    import org.apache.spark.sql.functions._
+    val n = 100000L
+    // a single hub component (the SURVEY §4.2 skew case: one entity with
+    // 10^5 duplicates) plus a 60-node chain to force multiple iterations
+    val star = spark.range(1, n).select(col("id").as("src"), lit(0L).as("dst"))
+    val chain = spark.range(0, 60).select(
+      (col("id") + 1000000L).as("src"), (col("id") + 1000001L).as("dst"))
+    val edges = star.unionAll(chain)
+    val inputEdges = n - 1 + 60
+    val iterSizes = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val comp = ConnectedComponents.run(spark, edges,
+      onIter = (_, cnt) => iterSizes += cnt)
+    // correctness: whole star collapses to min id 0; chain to its min
+    assert(comp.filter(col("component") === 0L).count() == n)
+    assert(comp.filter(col("component") === 1000000L).count() == 61)
+    assert(comp.count() == n + 61)
+    // convergence in few rounds; the star representation never expands —
+    // groupBy+min absorbs the hub on the map side, edges only contract
+    assert(iterSizes.length <= 8, s"iterations: $iterSizes")
+    assert(iterSizes.forall(_ <= inputEdges), s"per-iteration sizes: $iterSizes")
+  }
+
   test("assign: isolated nodes map to themselves") {
     val comp = ConnectedComponents.assign(spark,
       Seq(1L, 2L, 3L, 99L).toDF("node_id"), Seq((1L, 2L)).toDF("src", "dst"))

@@ -1,0 +1,61 @@
+package graft
+
+import graft.extract.Extract
+import graft.graph.KgSession
+import graft.model.Doc
+import graft.run.{Enricher, Pipeline}
+import org.apache.spark.sql.functions._
+
+/** G7 lifecycle: Start/Stop/IsRunning ticker with the max_relationships stop
+  * condition, mirroring the reference enricher's RunOnce/processBatch tests
+  * (kg-enricher/internal/enricher/enricher_test.go:160-517). */
+class EnricherSpec extends SparkSuite {
+  import spark.implicits._
+
+  private lazy val (kg, mentions) = {
+    val conf = Pipeline.Conf(workDir = tmpDir("enricher"), nDocs = 220,
+      nBuckets = 4, concurrency = 2)
+    val out = Pipeline.run(spark, conf)
+    val aliases = spark.read.parquet(Pipeline.aliasesPath(conf))
+    val dict = Extract.broadcastDict(spark, aliases.select("alias").as[String].collect())
+    val m = Extract.mentionsAll(out.docs.drop("bucket").as[Doc], dict).toDF()
+      .join(broadcast(aliases), col("surface") === col("alias"))
+      .select("doc_id", "canonical")
+      .localCheckpoint()
+    (KgSession.open(spark, conf.workDir), m)
+  }
+
+  test("ticker runs batches until the maxRelationships cap, then stops itself") {
+    val baseEdges = kg.edges.count()
+    val baseSnaps = kg.edgeSnapshots().size
+    val enr = new Enricher(kg, mentions,
+      Enricher.Conf(minDocs = 1, batch = 3, maxRelationships = 7, intervalMs = 25))
+    assert(!enr.isRunning)
+    enr.start()
+    assert(enr.awaitStopped(120000), "enricher did not stop on its own")
+    assert(!enr.isRunning)
+    assert(enr.added == 7) // cap reached exactly (batches 3+3+1)
+    assert(kg.edges.count() == baseEdges + 7)
+    assert(kg.edgeSnapshots().size == baseSnaps + 3) // one commit per tick
+    // every appended edge is a CoOccursWith between previously non-adjacent
+    val newOnes = kg.edges.filter(col("pred_norm") === "cooccurswith")
+    assert(newOnes.count() == 7)
+    // cap holds: further ticks are no-ops
+    assert(enr.runOnce() == 0L)
+    assert(kg.edges.count() == baseEdges + 7)
+  }
+
+  test("start is idempotent; stop interrupts a sleeping ticker promptly") {
+    val enr = new Enricher(kg, mentions,
+      Enricher.Conf(minDocs = 1, batch = 1, maxRelationships = 1000000,
+        intervalMs = 3600000)) // one tick, then sleep ~forever
+    enr.start()
+    enr.start() // no second worker
+    val t0 = System.currentTimeMillis()
+    while (enr.added < 1 && System.currentTimeMillis() - t0 < 60000) Thread.sleep(20)
+    assert(enr.added >= 1)
+    assert(enr.isRunning)
+    enr.stop()
+    assert(!enr.isRunning)
+  }
+}
