@@ -69,6 +69,43 @@ object Extract extends Serializable {
     }
   }
 
+  /** Per-doc extraction kernel — shared verbatim by the Spark stage and the
+    * bench's bare-thread host-capacity probe (same computation, zero
+    * framework, so the probe measures the HOST's ceiling for this work). */
+  def docTriples(d: Doc, ac: AhoCorasick, pc: AhoCorasick): Iterator[RawTriple] = {
+    var lastMedia = ""
+    d.spans.iterator.zipWithIndex.flatMap { case (sp, idx) =>
+      if (sp.kind == "media") { lastMedia = sp.media_ref; Iterator.empty }
+      else {
+        val text = sp.text
+        val ms = ac.leftmostLongest(text)
+        if (ms.length >= 2) {
+          val s = ms.head
+          val o = ms.last
+          val pred = text.substring(s.end, o.start).trim
+          Iterator.single(RawTriple(d.doc_id, idx, s.surface, pred, o.surface,
+            subj_grounded = true, obj_grounded = true, lastMedia, 1.0))
+        } else {
+          val ps = pc.leftmostLongest(text)
+          if (ps.isEmpty) Iterator.empty
+          else {
+            val p = ps.head
+            val m1 = ms.headOption
+            val subjIsMention = m1.exists(_.end <= p.start)
+            val objIsMention = m1.exists(_.start >= p.end)
+            val subj =
+              if (subjIsMention) m1.get.surface else trimPunct(text.substring(0, p.start))
+            val obj =
+              if (objIsMention) m1.get.surface else trimPunct(text.substring(p.end))
+            if (subj.isEmpty || obj.isEmpty) Iterator.empty
+            else Iterator.single(RawTriple(d.doc_id, idx, subj, p.surface, obj,
+              subjIsMention, objIsMention, lastMedia, 0.8))
+          }
+        }
+      }
+    }
+  }
+
   /** Raw triple extraction over a Dataset[Doc]. */
   def rawTriples(
       docs: Dataset[Doc],
@@ -79,39 +116,7 @@ object Extract extends Serializable {
     docs.mapPartitions { it =>
       val ac = dict.value
       val pc = predGrammar.value
-      it.flatMap { d =>
-        var lastMedia = ""
-        d.spans.iterator.zipWithIndex.flatMap { case (sp, idx) =>
-          if (sp.kind == "media") { lastMedia = sp.media_ref; Iterator.empty }
-          else {
-            val text = sp.text
-            val ms = ac.leftmostLongest(text)
-            if (ms.length >= 2) {
-              val s = ms.head
-              val o = ms.last
-              val pred = text.substring(s.end, o.start).trim
-              Iterator.single(RawTriple(d.doc_id, idx, s.surface, pred, o.surface,
-                subj_grounded = true, obj_grounded = true, lastMedia, 1.0))
-            } else {
-              val ps = pc.leftmostLongest(text)
-              if (ps.isEmpty) Iterator.empty
-              else {
-                val p = ps.head
-                val m1 = ms.headOption
-                val subjIsMention = m1.exists(_.end <= p.start)
-                val objIsMention = m1.exists(_.start >= p.end)
-                val subj =
-                  if (subjIsMention) m1.get.surface else trimPunct(text.substring(0, p.start))
-                val obj =
-                  if (objIsMention) m1.get.surface else trimPunct(text.substring(p.end))
-                if (subj.isEmpty || obj.isEmpty) Iterator.empty
-                else Iterator.single(RawTriple(d.doc_id, idx, subj, p.surface, obj,
-                  subjIsMention, objIsMention, lastMedia, 0.8))
-              }
-            }
-          }
-        }
-      }
+      it.flatMap(d => docTriples(d, ac, pc))
     }
   }
 

@@ -109,24 +109,52 @@ object Materialize {
     * sentence rendering "<rep subj> <pred verbatim> <rep obj>". The key
     * fixes all three parts, so it is constant per edge and any later merge
     * keeps it unchanged — exactly "first writer wins", batch-deterministic. */
-  def buildEdges(linked: DataFrame, resolve: DataFrame): DataFrame = {
+  def buildEdges(linked: DataFrame, resolve: DataFrame): DataFrame =
+    buildEdgesAgg(preAggregate(linked), resolve)
+
+  /** Stage A of edge materialization: collapse the corpus-sized linked
+    * stream to ONE row per raw (subj, pred, obj) in a single bounded hash
+    * aggregate — the only job that touches corpus-scale data. Distinct raw
+    * triples are dictionary-bounded (surface variants × golden triples), so
+    * the output is tiny regardless of corpus size; partial aggregation means
+    * the shuffle moves ≤ (#keys × #partitions) combined rows, never the
+    * corpus. Run this in the SAME job as extraction+linking (they are all
+    * narrow maps/broadcast joins above it) and the whole pipeline is one
+    * scan. */
+  def preAggregate(linked: DataFrame): DataFrame =
+    linked
+      .groupBy(col("subj"), col("pred"), col("obj"))
+      .agg(
+        count(lit(1)).as("n_obs"),
+        sum(col("score")).as("score_sum"),
+        bounded_collect_list(
+          struct(col("doc_id"), col("span_idx"), col("media_ref")),
+          ProvenanceCap).as("provenance"))
+
+  /** Stage B: canonical MERGE on the dictionary-scale pre-aggregate —
+    * endpoint remap through the broadcast resolve map, then the final
+    * (src,dst,pred) merge. Provenance exemplars from the variant groups are
+    * merged sorted-then-capped, so the kept set is deterministic (the
+    * ProvenanceCap smallest (doc_id, span_idx) entries); the collect_list
+    * here buffers at most #variant-groups × ProvenanceCap structs per edge
+    * on dictionary-scale data. */
+  def buildEdgesAgg(preAgg: DataFrame, resolve: DataFrame): DataFrame = {
     val subjMap = resolve.select(col("name").as("subj"),
       col("rep_id").as("src_id"), col("rep_name").as("src_name"))
     val objMap = resolve.select(col("name").as("obj"),
       col("rep_id").as("dst_id"), col("rep_name").as("dst_name"))
-    linked
+    preAgg
       .join(broadcast(subjMap), Seq("subj"))
       .join(broadcast(objMap), Seq("obj"))
       .withColumn("desc",
         concat_ws(" ", col("src_name"), col("pred"), col("dst_name")))
       .groupBy(col("src_id"), col("dst_id"), col("pred"))
       .agg(
-        count(lit(1)).as("n_obs"),
-        sum(col("score")).as("score_sum"),
+        sum(col("n_obs")).as("n_obs"),
+        sum(col("score_sum")).as("score_sum"),
         min(col("desc")).as("description"),
-        bounded_collect_list(
-          struct(col("doc_id"), col("span_idx"), col("media_ref")),
-          ProvenanceCap).as("provenance"))
+        slice(sort_array(flatten(collect_list(col("provenance")))), 1, ProvenanceCap)
+          .as("provenance"))
       .withColumn("pred_norm", normPred(col("pred")))
       .withColumn("strength", round(col("score_sum") / col("n_obs"), 6))
       .withColumn("created_at", CreatedAt)

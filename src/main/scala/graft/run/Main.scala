@@ -36,7 +36,9 @@ object Main {
         .appName("graft-kg")
         .config("spark.sql.shuffle.partitions", opts.getOrElse("shufflePartitions", "8"))
         .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        // see Bench.session: keep the bounded pre-aggregate in hash mode
+        .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "65536")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
         .getOrCreate())

@@ -67,16 +67,23 @@ object Pipeline {
     }
   }
 
+  /** Wall time of each named phase from the most recent `run` in this JVM —
+    * the bench reads it to report a per-phase scaling table. */
+  val phaseTimings = new java.util.concurrent.ConcurrentHashMap[String, Double]()
+
   private def phase[T](name: String)(f: => T): T = {
     val t0 = System.nanoTime()
     val r = f
+    val sec = (System.nanoTime() - t0) / 1e9
+    phaseTimings.put(name, sec)
     if (sys.env.contains("GRAFT_PHASE_TIMING"))
-      System.err.println(f"[phase] $name ${(System.nanoTime() - t0) / 1e9}%.2fs")
+      System.err.println(f"[phase] $name $sec%.2fs")
     r
   }
 
   def run(spark: SparkSession, c: Conf): Out = {
     import spark.implicits._
+    phaseTimings.clear()
     phase("ensureCorpus")(ensureCorpus(spark, c))
 
     val aliases = phase("aliases")(spark.read.parquet(aliasesPath(c)))
@@ -85,36 +92,41 @@ object Pipeline {
       Extract.broadcastDict(spark, aliasList),
       Extract.broadcastDict(spark, Golden.triples(c.goldenDir).map(_.pred).distinct)))
 
-    // stage 1: extraction (the compute kernel)
-    val raw = phase("extract")(
+    // stage 1: extraction kernel plan (no materialization of its own —
+    // fused into the pre-aggregate job below)
+    val raw =
       if (c.fastExtract) {
-        // throughput mode: cache the extraction in memory instead of a
-        // parquet round-trip (bucketed mode below is the resumable path)
         val docs = spark.read.parquet(docsDir(c)).drop("bucket").as[Doc]
-        val out = Extract.rawTriples(docs, dict, predGrammar).toDF()
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        out.count() // materialize under the extract phase timer
-        out
+        Extract.rawTriples(docs, dict, predGrammar).toDF()
       } else {
-        TableIO.runBucketed(spark, "extract", docsDir(c), extractDir(c),
-          c.nBuckets, c.concurrency) { in =>
-          Extract.rawTriples(in.drop("bucket").as[Doc], dict, predGrammar).toDF()
-        }
-      })
+        // resumable path: per-bucket extraction snapshots (one extra corpus
+        // write+read buys partition-granular restart)
+        phase("extractBucketed")(
+          TableIO.runBucketed(spark, "extract", docsDir(c), extractDir(c),
+            c.nBuckets, c.concurrency) { in =>
+            Extract.rawTriples(in.drop("bucket").as[Doc], dict, predGrammar).toDF()
+          })
+      }
 
-    // stage 2: linking (broadcast joins; needs the corpus text for the
-    // ambiguous-alias context scorer)
+    // stage 2: linking (broadcast joins; the corpus-text TF-IDF scan only
+    // evaluates when the dictionary actually contains ambiguous aliases)
     val docsText = spark.read.parquet(docsDir(c))
       .select(col("doc_id"), explode(col("spans")).as("s"))
       .filter(col("s.kind") === "text")
       .select(col("doc_id"), col("s.text").as("text"))
     val linked = phase("linkPlan")(EntityLink.link(spark, raw, aliases, docsText))
 
-    // stage 3: canonicalize + materialize — edges commit first, everything
-    // downstream reads the MATERIALIZED table (the edge aggregate runs once)
-    val resolve = phase("canonicalize")(Materialize.canonicalize(spark, linked, aliases))
+    // the ONE corpus-scale job: scan → extract → link → pre-aggregate to
+    // dictionary-scale (subj,pred,obj) rows. Everything after this line
+    // operates on tiny data.
+    val pre = phase("extractLinkAgg")(
+      Materialize.preAggregate(linked).localCheckpoint())
+
+    // stage 3: canonicalize + materialize on the pre-aggregate — edges
+    // commit first, downstream reads the MATERIALIZED table
+    val resolve = phase("canonicalize")(Materialize.canonicalize(spark, pre, aliases))
     phase("edgesCommit")(TableIO.commitSnapshot(
-      Materialize.buildEdges(linked, resolve), edgesDir(c), "edges"))
+      Materialize.buildEdgesAgg(pre, resolve), edgesDir(c), "edges"))
     val edgesT = TableIO.readCurrent(spark, edgesDir(c))
     phase("nodesCommit")(TableIO.commitSnapshot(
       Materialize.buildNodes(resolve, edgesT), nodesDir(c), "nodes"))
