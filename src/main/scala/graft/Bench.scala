@@ -236,7 +236,7 @@ object Bench {
         Pipeline.Conf(workDir = s"$root/corpus-$nDocs", nDocs = nDocs, nBuckets = 128))
     if (!Files.exists(Paths.get(warmDocs, "_DONE")))
       Pipeline.ensureCorpus(spark,
-        Pipeline.Conf(workDir = s"$root/corpus-warm", nDocs = 50000L, nBuckets = 32))
+        Pipeline.Conf(workDir = s"$root/corpus-warm", nDocs = 20000L, nBuckets = 32))
     // workload-matched probe inputs: a warm-corpus slice + the same automata
     // the pipeline broadcasts, held in plain driver memory
     val probeDocs = {
@@ -267,7 +267,7 @@ object Bench {
     // Between retry attempts the harness idles (cool-down) so the
     // hypervisor's burst budget refills.
     val maxAttempts = sys.env.get("GRAFT_BENCH_ATTEMPTS").map(_.toInt).getOrElse(3)
-    val cooldownMs = sys.env.get("GRAFT_BENCH_COOLDOWN_MS").map(_.toLong).getOrElse(150000L)
+    val cooldownMs = sys.env.get("GRAFT_BENCH_COOLDOWN_MS").map(_.toLong).getOrElse(240000L)
     val runs4 = scala.collection.mutable.ArrayBuffer.empty[RunResult]
     val runs16 = scala.collection.mutable.ArrayBuffer.empty[RunResult]
     def globalMinCpu: Double = (runs4 ++ runs16).map(_.cpuS).min
@@ -365,7 +365,7 @@ object Bench {
 
     val qs = f"""{"pipeline_local4":$tN%.3f,"pipeline_local16":$t4N%.3f}"""
     println(
-      f"""{"metric":"triples_per_sec_local16","value":$tput4N%.1f,"unit":"triples/sec","queries":$qs,"sf":"$sfDir","n_docs":$nDocs,"n_triples":$nN,"triples_per_sec_local4":$tputN%.1f,"triples_per_sec_local16":$tput4N%.1f,"scaling_efficiency":$eff%.3f,"host_capacity_eff_4_to_16":$hostEff%.3f,"kernel_capacity_eff_4_to_16":$kernelEff%.3f,"scaling_efficiency_host_normalized":$normEff%.3f,"scaling_efficiency_kernel_normalized":$kernelNormEff%.3f,"wall_local4_sec":$tN%.2f,"wall_local16_sec":$t4N%.2f,"phases_local4":${phasesJson(bestN.phases)},"phases_local16":${phasesJson(best4N.phases)}}""")
+      f"""{"metric":"triples_per_sec_local16","value":$tput4N%.1f,"unit":"triples/sec","queries":$qs,"sf":"$sfDir","n_docs":$nDocs,"n_triples":$nN,"triples_per_sec_local4":$tputN%.1f,"triples_per_sec_local16":$tput4N%.1f,"scaling_efficiency":$eff%.3f,"clean_pair_this_run":${cleanOf(runs4.toSeq).nonEmpty && cleanOf(runs16.toSeq).nonEmpty},"scaling_efficiency_best_observed":$bestEff%.3f,"host_capacity_eff_4_to_16":$hostEff%.3f,"kernel_capacity_eff_4_to_16":$kernelEff%.3f,"scaling_efficiency_host_normalized":$normEff%.3f,"scaling_efficiency_kernel_normalized":$kernelNormEff%.3f,"wall_local4_sec":$tN%.2f,"wall_local16_sec":$t4N%.2f,"phases_local4":${phasesJson(bestN.phases)},"phases_local16":${phasesJson(best4N.phases)}}""")
 
     val md =
       f"""# BENCH — measured

@@ -61,7 +61,7 @@ object Fixtures {
     val r = root(sfDir)
     // bump the suffix whenever fixture content changes so stale round-N
     // fixtures regenerate (deterministic, ~30s at sf0.01)
-    val ready = Paths.get(r, "_READY_v3")
+    val ready = Paths.get(r, "_READY_v4")
     if (Files.exists(ready)) return r
     import spark.implicits._
 
@@ -114,6 +114,24 @@ object Fixtures {
       .map { case (w, i) => (i / AnnBits, i % AnnBits, w.toSeq) }
       .toSeq.toDF("tbl", "bit", "w")
       .coalesce(1).write.mode("overwrite").parquet(s"$r/lsh_planes")
+
+    // embedding near-dup fixture: driver embeddings + planted exact dups
+    // (vec_id+9001) and near dups (vec_id+9101, small deterministic
+    // perturbation → cosine ≈ 0.999)
+    val embT = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
+    val embBase = embT.filter(col("vec_id") < 5)
+    val exactE = embBase.select((col("vec_id") + 9001).as("vec_id"), col("embedding"))
+    val nearE = embBase.select((col("vec_id") + 9101).as("vec_id"),
+      expr("transform(embedding, (x, i) -> cast(x + 0.002 * ((i % 5) - 2) as float))")
+        .as("embedding"))
+    embT.filter(col("vec_id") < 100).union(exactE).union(nearE)
+      .coalesce(1).write.mode("overwrite").parquet(s"$r/dedup_embs")
+
+    // IVF coarse quantizer trained once on the full embedding table — the
+    // centroid model the q_ann_ivf query AND its DuckDB oracle both read
+    graft.sim.Ann.ivfTrain(embT, k = 16, iters = 5)
+      .coalesce(1).write.mode("overwrite").parquet(s"$r/ivf_centroids")
 
     Files.writeString(ready, "ok")
     r

@@ -200,6 +200,23 @@ object SparkEntry {
       graft.text.NearDup.fingerprints(dedupDocs(s, d), "doc_id", "text")
         .groupBy("doc_id").agg(countDistinct("fp").as("n_fp"))
         .orderBy("doc_id")),
+    // --- embedding-cosine near-dup dedup (LSH candidates + exact verify);
+    //     oracle = exact all-pairs cosine over the planted-dup fixture ---
+    "q_embed_neardup" -> ((s, d) => {
+      val r = Fixtures.ensure(s, d)
+      graft.sim.Ann.cosineDupPairs(s.read.parquet(s"$r/dedup_embs"),
+        dim = Fixtures.AnnDim, threshold = 0.95)
+        .orderBy("a", "b")
+    }),
+    // --- IVF ANN (k-means coarse quantizer, nprobe cells); oracle replays
+    //     assignment + probing + scoring from the ivf_centroids fixture ---
+    "q_ann_ivf" -> ((s, d) => {
+      val r = Fixtures.ensure(s, d)
+      graft.sim.Ann.ivfTopK(s.read.parquet(s"$d/embeddings.parquet"),
+        s.read.parquet(s"$r/ivf_centroids"), Seq(0L, 1L, 2L, 3L, 4L),
+        k = 10, nprobe = 4)
+        .select("query_id", "rank", "vec_id").orderBy("query_id", "rank")
+    }),
     // --- LSH-bucketed approximate ANN; oracle recomputes the sign-LSH
     //     buckets from the lsh_planes fixture (same seeded doubles) ---
     "q_ann_lsh" -> ((s, d) => {
@@ -563,6 +580,44 @@ object SparkEntry {
          |SELECT doc_id, count(DISTINCT fp) AS n_fp FROM sel GROUP BY doc_id
          |ORDER BY doc_id""".stripMargin
     },
+    // exact all-pairs cosine ≥ τ over the planted-duplicate embedding
+    // fixture — ground truth for the LSH-candidate near-dup path (equality
+    // proves full candidate recall at this fixture)
+    "q_embed_neardup" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM ${p("dedup_embs")}),
+         |pr AS (SELECT a.vec_id AS a, b.vec_id AS b,
+         |  round(list_dot_product(a.v, b.v) /
+         |    (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 5) AS cos5
+         |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
+         |SELECT a, b, cos5 FROM pr WHERE cos5 >= 0.95 ORDER BY a, b""".stripMargin,
+    // full IVF replay from the ivf_centroids fixture: nearest-cell
+    // assignment (L2² = |x|²+|c|²−2x·c, same three dots in the same order),
+    // nprobe probing, exact-cosine scoring, top-k
+    "q_ann_ivf" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+         |  FROM read_parquet('/root/testdata/sf0.01/embeddings.parquet')),
+         |c AS (SELECT cid, c::DOUBLE[] AS c FROM ${p("ivf_centroids")}),
+         |asg AS (SELECT vec_id, cid FROM (
+         |  SELECT e.vec_id, c.cid, row_number() OVER (PARTITION BY e.vec_id ORDER BY
+         |    list_dot_product(e.v, e.v) + list_dot_product(c.c, c.c)
+         |      - 2 * list_dot_product(e.v, c.c) ASC, c.cid ASC) AS rk
+         |  FROM e CROSS JOIN c) WHERE rk = 1),
+         |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id IN (0, 1, 2, 3, 4)),
+         |pr AS (SELECT query_id, cid FROM (
+         |  SELECT q.query_id, c.cid, row_number() OVER (PARTITION BY q.query_id ORDER BY
+         |    list_dot_product(q.qv, q.qv) + list_dot_product(c.c, c.c)
+         |      - 2 * list_dot_product(q.qv, c.c) ASC, c.cid ASC) AS rk
+         |  FROM q CROSS JOIN c) WHERE rk <= 4),
+         |cand AS (SELECT pr.query_id, asg.vec_id FROM pr JOIN asg USING (cid)
+         |  WHERE asg.vec_id <> pr.query_id),
+         |s AS (SELECT cand.query_id, cand.vec_id,
+         |  round(list_dot_product(e.v, q.qv) /
+         |    (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qv, q.qv))), 5) AS cos5
+         |  FROM cand JOIN e ON e.vec_id = cand.vec_id JOIN q ON q.query_id = cand.query_id),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+         |  ORDER BY cos5 DESC, vec_id ASC) AS rk FROM s)
+         |SELECT query_id, CAST(rk AS INTEGER) AS rank, vec_id FROM r WHERE rk <= 10
+         |ORDER BY query_id, rank""".stripMargin,
     // sign-LSH buckets recomputed from the lsh_planes fixture (identical
     // seeded doubles; list_dot_product on the same double arrays), then the
     // same per-bucket cap, candidate union, exact-cosine scoring and top-k

@@ -112,6 +112,47 @@ class TextOpsSpec extends SparkSuite {
     assert(uncapped.count() == 100L * 99 / 2)
   }
 
+  test("embedding-cosine near-dup: planted dup found, unrelated vectors not") {
+    val rng = new java.util.Random(11)
+    val base = (0L until 60L).map(i => (i, Array.fill(16)(rng.nextGaussian().toFloat)))
+    val dup = (100L, base(3)._2.map(x => x * 1.0f))              // exact dup of 3
+    val near = (101L, base(7)._2.map(x => x + 0.01f))            // near dup of 7
+    val emb = (base :+ dup :+ near).toDF("vec_id", "embedding")
+    val pairs = Ann.cosineDupPairs(emb, dim = 16, threshold = 0.95,
+        nTables = 16, bitsPerTable = 4)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((3L, 100L)), pairs.toString)
+    assert(pairs.contains((7L, 101L)), pairs.toString)
+    assert(pairs.size == 2, pairs.toString) // exact verify kills LSH noise
+  }
+
+  test("IVF: k-means centroids converge on separated clusters; search recalls within-cluster") {
+    val rng = new java.util.Random(5)
+    def cluster(center: Float, n: Int, from: Long) = (0 until n).map(j =>
+      (from + j, Array.fill(8)(center + 0.05f * rng.nextGaussian().toFloat)))
+    val emb = (cluster(-2f, 30, 0) ++ cluster(0.5f, 30, 100) ++ cluster(3f, 30, 200))
+      .toDF("vec_id", "embedding")
+    val cents = Ann.ivfTrain(emb, k = 3, iters = 5).localCheckpoint()
+    assert(cents.count() == 3)
+    // every cluster's members assign to one cell
+    val asg = Ann.assignCells(
+        emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v")), cents)
+      .select("vec_id", "cid").as[(Long, Int)].collect().toMap
+    assert((0L until 30L).map(asg).toSet.size == 1)
+    assert((200L until 230L).map(asg).toSet.size == 1)
+    // nprobe=3 (all cells) must equal brute force exactly
+    val ivfAll = Ann.ivfTopK(emb, cents, Seq(0L, 100L), k = 5, nprobe = 3)
+      .select("query_id", "rank", "vec_id").as[(Long, Int, Long)].collect().toSet
+    val brute = Ann.bruteTopK(emb, Seq(0L, 100L), 5)
+      .select("query_id", "rank", "vec_id").as[(Long, Int, Long)].collect().toSet
+    assert(ivfAll == brute)
+    // nprobe=1 stays within the query's own (dense) cluster and still
+    // finds the same neighbors here (clusters are far apart)
+    val ivf1 = Ann.ivfTopK(emb, cents, Seq(0L), k = 5, nprobe = 1)
+      .select("vec_id").as[Long].collect().toSet
+    assert(ivf1.forall(_ < 30L), ivf1.toString)
+  }
+
   test("lsh ANN per-bucket cap bounds candidates; hot-bucket query still probes") {
     val hot = (0L until 80L)
       .map(i => (i, Array.fill(8)(1.0f + 0.001f * i))).toDF("vec_id", "embedding")
