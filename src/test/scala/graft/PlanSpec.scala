@@ -54,6 +54,24 @@ class PlanSpec extends SparkSuite {
     assert(!p.toLowerCase.contains("batchevalpython") && !p.contains("ScalaUDF"), p.take(2000))
   }
 
+  test("fused extract→link→pre-aggregate is ONE shuffle: broadcast-only joins, partial+final bounded aggregate") {
+    val raw = Seq(
+      RawTriple("d1", 0, "A", "P", "B", true, true, "", 1.0),
+      RawTriple("d2", 1, "A", "P", "B", true, true, "m", 1.0)).toDS().toDF()
+    val aliases = Seq(("A", "A", 1.0), ("B", "B", 1.0)).toDF("alias", "canonical", "prior")
+    val docsText = Seq(("d1", "x")).toDF("doc_id", "text")
+    val linked = EntityLink.link(spark, raw, aliases, docsText)
+    val p = plan(graft.graph.Materialize.preAggregate(linked))
+    assert(countOccurrences(p, "ObjectHashAggregate") >= 2, p.take(3000)) // partial+final
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p.take(3000))
+    // exactly one CORPUS shuffle: the aggregate's (subj,pred,obj) exchange.
+    // (Alias-side split aggregates shuffle too, but those subtrees are
+    // dictionary-sized broadcast builds, not corpus data.)
+    assert(countOccurrences(p, "Exchange hashpartitioning(subj") == 1, p.take(3000))
+    assert(!p.contains("hashpartitioning(doc_id"), "corpus rows must never shuffle by doc")
+  }
+
   test("non-adjacent pairs: nested-loop sides are hash-sampled (TakeOrdered), never full node sets") {
     val nodes = (1L to 500L).map(i => (i, f"node-$i%04d")).toDF("node_id", "name")
     val edges = Seq((1L, 2L, "p")).toDF("src_id", "dst_id", "pred")
