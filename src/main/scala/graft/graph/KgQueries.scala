@@ -105,14 +105,24 @@ object KgQueries {
   }
 
   /** G6/G7 RunOnce: enrich the graph with CoOccursWith edges for the top
-    * non-adjacent co-occurring pairs (threshold on doc evidence). */
+    * non-adjacent co-occurring pairs (threshold on doc evidence).
+    * @param focus G5 low-connectivity reseeding: when set, only pairs
+    *   touching one of these node_ids are considered — the reference's
+    *   "reseed from poorly-connected concepts" redirected at pair mining
+    *   (the corpus-driven build has no BFS loop to reseed). The focus set
+    *   is bottom-k-sized, so the OR-semi-join broadcasts it. */
   def enrichOnce(nodes: DataFrame, edges: DataFrame, mentionsCanon: DataFrame,
-      minDocs: Long, maxNew: Int): DataFrame = {
+      minDocs: Long, maxNew: Int, focus: Option[DataFrame] = None): DataFrame = {
     val co = cooccurrence(mentionsCanon).filter(col("n_docs") >= minDocs)
     val ids = nodes.select(col("name"), col("node_id"))
-    val withIds = co
+    val withIds0 = co
       .join(ids.withColumnRenamed("name", "a").withColumnRenamed("node_id", "a_id"), Seq("a"))
       .join(ids.withColumnRenamed("name", "b").withColumnRenamed("node_id", "b_id"), Seq("b"))
+    val withIds = focus match {
+      case Some(f) => withIds0.join(broadcast(f.select(col("node_id"))),
+        col("a_id") === col("node_id") || col("b_id") === col("node_id"), "left_semi")
+      case None => withIds0
+    }
     val existing = edges.select(
       least(col("src_id"), col("dst_id")).as("k1"),
       greatest(col("src_id"), col("dst_id")).as("k2")).distinct()

@@ -32,8 +32,15 @@ final class Enricher(kg: KgSession, mentionsCanon: DataFrame, conf: Enricher.Con
     val remaining = conf.maxRelationships - addedCount.get()
     if (remaining <= 0) return 0L
     val edges = kg.edges
+    // G5 reseeding analog: focus this tick's mining on the currently
+    // worst-connected nodes (recomputed per tick, as the reference reseeds)
+    val focus =
+      if (conf.focusBottomK > 0)
+        Some(KgQueries.lowConnectivity(kg.nodes, edges, conf.focusBottomK)
+          .select("node_id"))
+      else None
     val newE = KgQueries.enrichOnce(kg.nodes, edges, mentionsCanon,
-        conf.minDocs, math.min(conf.batch.toLong, remaining).toInt)
+        conf.minDocs, math.min(conf.batch.toLong, remaining).toInt, focus)
       .withColumnRenamed("n_docs", "n_obs")
       .withColumn("provenance",
         typedLit(Seq.empty[(String, Int, String)])
@@ -87,10 +94,13 @@ object Enricher {
   /** @param minDocs co-occurrence evidence threshold
     * @param batch max edges per tick
     * @param maxRelationships total cap, the enricher's stop condition
-    * @param intervalMs ticker interval */
+    * @param intervalMs ticker interval
+    * @param focusBottomK >0 = G5 reseeding: each tick mines only pairs
+    *   touching the current bottom-k-degree nodes */
   final case class Conf(
       minDocs: Long = 3,
       batch: Int = 10,
       maxRelationships: Long = 50,
-      intervalMs: Long = 1000)
+      intervalMs: Long = 1000,
+      focusBottomK: Int = 0)
 }

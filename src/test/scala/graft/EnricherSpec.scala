@@ -45,6 +45,22 @@ class EnricherSpec extends SparkSuite {
     assert(kg.edges.count() == baseEdges + 7)
   }
 
+  test("G5 reseeding: focusBottomK restricts mining to low-connectivity nodes") {
+    val bottom = graft.graph.KgQueries.lowConnectivity(kg.nodes, kg.edges, 5)
+      .select("node_id").as[Long].collect().toSet
+    val beforeKeys = kg.edges.select("src_id", "dst_id")
+      .as[(Long, Long)].collect().toSet
+    val enr = new Enricher(kg, mentions,
+      Enricher.Conf(minDocs = 1, batch = 4, maxRelationships = 4, focusBottomK = 5))
+    val n = enr.runOnce()
+    assert(n > 0, "focused mining found no pairs — fixture too sparse")
+    val newKeys = kg.edges.select("src_id", "dst_id")
+      .as[(Long, Long)].collect().toSet -- beforeKeys
+    assert(newKeys.size == n.toInt)
+    assert(newKeys.forall { case (s, d) => bottom.contains(s) || bottom.contains(d) },
+      s"every focused edge must touch a bottom-5 node (bottom=$bottom, new=$newKeys)")
+  }
+
   test("start is idempotent; stop interrupts a sleeping ticker promptly") {
     val enr = new Enricher(kg, mentions,
       Enricher.Conf(minDocs = 1, batch = 1, maxRelationships = 1000000,
