@@ -268,6 +268,11 @@ object Bench {
     // hypervisor's burst budget refills.
     val maxAttempts = sys.env.get("GRAFT_BENCH_ATTEMPTS").map(_.toInt).getOrElse(3)
     val cooldownMs = sys.env.get("GRAFT_BENCH_COOLDOWN_MS").map(_.toLong).getOrElse(240000L)
+    // wall-clock budget for the whole retry loop: inside a long throttled
+    // window, retries are better abandoned than timing out the caller —
+    // the JSON then carries clean_pair_this_run=false + best observed
+    val budgetMs = sys.env.get("GRAFT_BENCH_BUDGET_MS").map(_.toLong).getOrElse(1500000L)
+    val loopT0 = System.currentTimeMillis()
     val runs4 = scala.collection.mutable.ArrayBuffer.empty[RunResult]
     val runs16 = scala.collection.mutable.ArrayBuffer.empty[RunResult]
     def globalMinCpu: Double = (runs4 ++ runs16).map(_.cpuS).min
@@ -287,6 +292,7 @@ object Bench {
       case _ => 0.0 // no clean pair yet → keep trying
     }
     while (attempt < maxAttempts &&
+        (System.currentTimeMillis() - loopT0) < budgetMs &&
         (attempt == 0 || effSoFar < 0.8 || effSoFar > 1.02)) {
       if (attempt > 0) {
         System.err.println(s"COOLDOWN ${cooldownMs}ms (eff so far: $effSoFar)")
