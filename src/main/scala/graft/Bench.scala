@@ -266,7 +266,7 @@ object Bench {
     // for this pipeline) and a throttled local[16] can't deflate it.
     // Between retry attempts the harness idles (cool-down) so the
     // hypervisor's burst budget refills.
-    val maxAttempts = sys.env.get("GRAFT_BENCH_ATTEMPTS").map(_.toInt).getOrElse(3)
+    val maxAttempts = math.max(1, sys.env.get("GRAFT_BENCH_ATTEMPTS").map(_.toInt).getOrElse(3))
     val cooldownMs = sys.env.get("GRAFT_BENCH_COOLDOWN_MS").map(_.toLong).getOrElse(240000L)
     // wall-clock budget for the whole retry loop: inside a long throttled
     // window, retries are better abandoned than timing out the caller —
@@ -292,8 +292,9 @@ object Bench {
       case _ => 0.0 // no clean pair yet → keep trying
     }
     while (attempt < maxAttempts &&
-        (System.currentTimeMillis() - loopT0) < budgetMs &&
-        (attempt == 0 || effSoFar < 0.8 || effSoFar > 1.02)) {
+        (attempt == 0 || // the first attempt always runs, whatever the budget
+          ((System.currentTimeMillis() - loopT0) < budgetMs &&
+            (effSoFar < 0.8 || effSoFar > 1.02)))) {
       if (attempt > 0) {
         System.err.println(s"COOLDOWN ${cooldownMs}ms (eff so far: $effSoFar)")
         Thread.sleep(cooldownMs)

@@ -112,8 +112,15 @@ object KgQueries {
     *   (the corpus-driven build has no BFS loop to reseed). The focus set
     *   is bottom-k-sized, so the OR-semi-join broadcasts it. */
   def enrichOnce(nodes: DataFrame, edges: DataFrame, mentionsCanon: DataFrame,
-      minDocs: Long, maxNew: Int, focus: Option[DataFrame] = None): DataFrame = {
-    val co = cooccurrence(mentionsCanon).filter(col("n_docs") >= minDocs)
+      minDocs: Long, maxNew: Int, focus: Option[DataFrame] = None): DataFrame =
+    enrichOnceFromCo(nodes, edges,
+      cooccurrence(mentionsCanon).filter(col("n_docs") >= minDocs), maxNew, focus)
+
+  /** Enrichment tick over a PRECOMPUTED co-occurrence table — the corpus
+    * aggregate is a fixed input, so a ticker computes it once and re-runs
+    * only the (tiny) id-mapping + anti-join + top-k per tick. */
+  def enrichOnceFromCo(nodes: DataFrame, edges: DataFrame, co: DataFrame,
+      maxNew: Int, focus: Option[DataFrame] = None): DataFrame = {
     val ids = nodes.select(col("name"), col("node_id"))
     val withIds0 = co
       .join(ids.withColumnRenamed("name", "a").withColumnRenamed("node_id", "a_id"), Seq("a"))

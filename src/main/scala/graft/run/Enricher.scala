@@ -23,6 +23,13 @@ final class Enricher(kg: KgSession, mentionsCanon: DataFrame, conf: Enricher.Con
   private val addedCount = new AtomicLong(0L)
   @volatile private var worker: Thread = _
 
+  /** The corpus-scale co-occurrence aggregate is a fixed input — computed
+    * once for the enricher's lifetime; each tick re-runs only the tiny
+    * id-mapping + anti-join against the current edges. */
+  private lazy val coTable = KgQueries.cooccurrence(mentionsCanon)
+    .filter(col("n_docs") >= conf.minDocs)
+    .localCheckpoint()
+
   def isRunning: Boolean = runningFlag.get()
   def added: Long = addedCount.get()
 
@@ -39,8 +46,8 @@ final class Enricher(kg: KgSession, mentionsCanon: DataFrame, conf: Enricher.Con
         Some(KgQueries.lowConnectivity(kg.nodes, edges, conf.focusBottomK)
           .select("node_id"))
       else None
-    val newE = KgQueries.enrichOnce(kg.nodes, edges, mentionsCanon,
-        conf.minDocs, math.min(conf.batch.toLong, remaining).toInt, focus)
+    val newE = KgQueries.enrichOnceFromCo(kg.nodes, edges, coTable,
+        math.min(conf.batch.toLong, remaining).toInt, focus)
       .withColumnRenamed("n_docs", "n_obs")
       .withColumn("provenance",
         typedLit(Seq.empty[(String, Int, String)])

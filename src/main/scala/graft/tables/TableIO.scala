@@ -71,7 +71,9 @@ object TableIO {
         n += 1; snapDir = base.resolve(f"snap-$n%05d")
       }
     }
-    df.write.mode("overwrite").parquet(snapDir.toString)
+    // append into the freshly claimed EMPTY dir — overwrite would delete the
+    // claim first, letting a concurrent committer re-claim the same id
+    df.write.mode("append").parquet(snapDir.toString)
     // per-partition lineage: row counts straight from parquet footers
     // (driver-side metadata read — no extra Spark job)
     val perFile = parquetFileRows(snapDir)
@@ -229,12 +231,17 @@ object TableIO {
   private[tables] def isRetryable(e: Throwable): Boolean = e match {
     case _: org.apache.spark.sql.AnalysisException => false
     case _: OutOfMemoryError => false
+    // deterministic JVM errors: a retry just re-runs the same bug
+    case _: NullPointerException | _: IllegalArgumentException |
+         _: IllegalStateException | _: ClassCastException |
+         _: UnsupportedOperationException | _: ArithmeticException |
+         _: IndexOutOfBoundsException => false
     case _: java.io.IOException => true
     case _: org.apache.spark.SparkException =>
       // task/stage-level failures are transient-shaped unless they wrap a
       // deterministic cause
       Option(e.getCause).forall(isRetryable)
-    case _: RuntimeException => true // test hooks / wrapped transient faults
+    case _: RuntimeException => true // wrapped transient faults
     case _ => false
   }
 

@@ -18,7 +18,10 @@ import scala.util.hashing.MurmurHash3
   * - Winnowing fingerprints (Schleimer et al., SIGMOD'03): k-gram rolling
   *   hashes, per-window minimum sampling.
   *
-  * All hashing is seeded MurmurHash3 → deterministic across runs/JVMs.
+  * All hashing is deterministic AND engine-reproducible: seeded MurmurHash3
+  * for the MinHash shingle/permutation/band hashes, md5-first-8-bytes for
+  * the SimHash token hash, and a base-128 positional code for the winnowing
+  * gram key (the latter two chosen so the DuckDB oracle recomputes them).
   */
 object NearDup extends Serializable {
 
@@ -213,7 +216,11 @@ object NearDup extends Serializable {
     * come from a map-side-combined count, so the hot key never fans out. */
   def simhashDupPairs(docs: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3, maxBucket: Int = 64): DataFrame = {
-    val sigs = docs.select(col(idCol).cast("long").as("id"),
+    // token-free docs (no [a-z0-9] after lowering) all collapse to sig 0 —
+    // not meaningful near-dups; drop them (and keep parity with the oracle,
+    // whose token unnest naturally excludes them)
+    val sigs = docs.filter(col(textCol).rlike("[a-zA-Z0-9]"))
+      .select(col(idCol).cast("long").as("id"),
         graft.functions.SimHash64Expr.simhash64(col(textCol)).as("sig"))
       .localCheckpoint()
     val banded = sigs.select(col("id"), col("sig"),
