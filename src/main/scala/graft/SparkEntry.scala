@@ -146,6 +146,11 @@ object SparkEntry {
       documentsDf(s, d).select(col("doc_id"),
         graft.text.TextOps.tokenCount(col("text")).as("n_tokens"))
         .orderBy("doc_id")),
+    // --- BPE-ish subword-proxy token counting ---
+    "q_bpeish_tokens" -> ((s, d) =>
+      documentsDf(s, d).select(col("doc_id"),
+        graft.text.TextOps.bpeishTokenCount(col("text")).as("n_bpeish"))
+        .orderBy("doc_id")),
     // --- quality scoring ---
     "q_quality" -> ((s, d) =>
       graft.text.TextOps.quality(documentsDf(s, d), "doc_id", "text")
@@ -444,6 +449,15 @@ object SparkEntry {
       s"""SELECT doc_id,
          |  len(list_filter(string_split_regex(trim(text), '\\s+'), w -> len(w) > 0)) AS n_tokens
          |FROM $docsLong ORDER BY doc_id""".stripMargin,
+    "q_bpeish_tokens" -> {
+      // same pattern string; DuckDB single-quoted literals keep backslashes
+      // verbatim, only embedded quotes need doubling
+      val pat = graft.text.TextOps.BpeishPattern.replace("'", "''")
+      s"""SELECT doc_id,
+         |  len(list_filter(regexp_extract_all(text, '$pat'),
+         |      t -> NOT regexp_matches(t, '^\\s+$$'))) AS n_bpeish
+         |FROM $docsLong ORDER BY doc_id""".stripMargin
+    },
     "q_quality" ->
       s"""WITH $qualityCte
          |SELECT doc_id, n_chars, n_tokens, n_stopwords, n_punct,

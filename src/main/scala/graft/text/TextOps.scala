@@ -15,6 +15,20 @@ object TextOps {
   def tokenCount(text: Column): Column =
     size(filter(split(trim(text), "\\s+"), t => length(t) > 0))
 
+  /** GPT-2-style pre-tokenizer pattern: contractions, optional-space letter
+    * runs, digit runs, punctuation runs, whitespace. No lookarounds — the
+    * same pattern compiles under Java regex (Spark) and RE2 (DuckDB). */
+  val BpeishPattern: String =
+    "'s|'t|'re|'ve|'m|'ll|'d| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+"
+
+  /** BPE-ish token count: matches of [[BpeishPattern]] minus pure-whitespace
+    * runs — a cheap upper-bound proxy for subword token counts (the real
+    * BPE merge table is model-specific; the pre-tokenization split is the
+    * engine-side part). Pure codegen'd column expression. */
+  def bpeishTokenCount(text: Column): Column =
+    size(filter(regexp_extract_all(text, lit(BpeishPattern), lit(0)),
+      t => !(t rlike "^\\s+$")))
+
   /** Exact-duplicate groups by content hash (hash-groupBy dedup; map-side
     * combine makes this one cheap shuffle at any scale). */
   def exactDupGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =

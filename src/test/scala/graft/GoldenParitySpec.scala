@@ -28,6 +28,19 @@ class GoldenParitySpec extends SparkSuite {
     assert(r >= 0.95, s"recall $r; misses=${(golden -- emitted).take(5)}")
   }
 
+  test("fastExtract (the bench configuration) emits the identical triple set") {
+    // the fused single-job path and the bucketed resumable path must be the
+    // same engine: identical triples, nodes, and edge MERGE keys
+    val fast = Pipeline.run(spark, Pipeline.Conf(workDir = tmpDir("parityFast"),
+      nDocs = 220, nBuckets = 4, concurrency = 2, fastExtract = true))
+    assert(triples(fast) == triples(out1))
+    assert(fast.nodes.select("canonical_name").as[String].collect().toSet ==
+      out1.nodes.select("canonical_name").as[String].collect().toSet)
+    val keys = (o: Pipeline.Out) => o.edges.select("src_id", "dst_id", "pred", "n_obs")
+      .as[(Long, Long, String, Long)].collect().toSet
+    assert(keys(fast) == keys(out1))
+  }
+
   test("node parity: canonical node set equals the 76 golden names") {
     val names = out1.nodes.select("canonical_name").as[String].collect().toSet
     assert(names == Golden.nodeNames().toSet)
