@@ -56,9 +56,20 @@ object EntityLink {
     val ambiguous = flagged.filter(col("n_cands") > 1).drop("n_cands")
       .localCheckpoint() // tiny; evaluated once for the emptiness probe + joins
 
-    // the TF-IDF context corpus is only scanned when ambiguity exists at all
+    // the TF-IDF context corpus is (a) only built when ambiguity exists at
+    // all, and (b) restricted to docs that actually HOST an ambiguous
+    // mention — the slow path vectorizes a sliver of the corpus, never all
+    // of it (IDF is defined within that ambiguity-context corpus). The
+    // ambiguous surface set is dictionary-sized → broadcast semi-join.
     val (docVec, docNorm) =
-      if (!ambiguous.isEmpty) docTermVectors(docsText) else (null, null)
+      if (!ambiguous.isEmpty) {
+        val ambSurf = ambiguous.select(col("alias")).distinct()
+        val ambDocs = triples
+          .join(broadcast(ambSurf),
+            col("subj") === col("alias") || col("obj") === col("alias"), "left_semi")
+          .select("doc_id").distinct()
+        docTermVectors(docsText.join(ambDocs, Seq("doc_id"), "left_semi"))
+      } else (null, null)
 
     val s1 = linkSimple(triples, uniqueAliases, ambiguous, docVec, docNorm, "subj")
     val s2 = linkSimple(s1, uniqueAliases, ambiguous, docVec, docNorm, "obj")
