@@ -19,6 +19,29 @@ class TableIOSpec extends SparkSuite {
     assert(Files.exists(Paths.get(dir, "_manifest", "snap-00001.json")))
   }
 
+  test("concurrent commits to one table dir claim distinct snapshot ids, never interleave") {
+    val dir = tmpDir("snapRace")
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration._
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try {
+      val fs = (1 to 4).map { i =>
+        Future(TableIO.commitSnapshot(Seq.fill(i * 10)(i).toDF("x"), dir, "t"))
+      }
+      Await.result(Future.sequence(fs), 120.seconds)
+    } finally pool.shutdown()
+    val snaps = TableIO.listSnapshots(dir)
+    assert(snaps == Seq(0, 1, 2, 3), snaps.toString)
+    // every snapshot is complete and internally consistent: one writer's
+    // rows only (counts are 10/20/30/40 in some order, each homogeneous)
+    val counts = snaps.map(s => TableIO.readSnapshot(spark, dir, s))
+      .map(df => df.select("x").distinct().count() -> df.count())
+    assert(counts.forall(_._1 == 1), counts.toString)
+    assert(counts.map(_._2).sorted == Seq(10L, 20L, 30L, 40L), counts.toString)
+    assert(TableIO.currentSnapshot(dir).exists(_.startsWith("snap-0000")))
+  }
+
   test("bucketed stage: runs, records lineage, resumes by skipping committed buckets") {
     val in = tmpDir("in")
     val stage = tmpDir("stage")
