@@ -182,6 +182,16 @@ object SparkEntry {
       graft.media.MediaFeatures.extract(Fixtures.docsFlat(s, d))
         .select("media_ref", "f0", "f1", "f2", "f3", "f4", "f5", "f6", "f7")
         .distinct().orderBy("media_ref").limit(500)),
+    // --- multimodal resize plumbing (aspect-fit plan, integer-exact) ---
+    "q_media_resize" -> ((s, d) =>
+      graft.media.MediaFeatures.resizePlan(
+        graft.media.MediaFeatures.mediaTable(Fixtures.docsFlat(s, d)), 640, 360)
+        .orderBy("media_ref").limit(500)),
+    // --- multimodal frame-sample plumbing (k evenly spaced timestamps) ---
+    "q_frame_sample" -> ((s, d) =>
+      graft.media.MediaFeatures.frameSample(
+        graft.media.MediaFeatures.mediaTable(Fixtures.docsFlat(s, d)), 4)
+        .orderBy("media_ref", "frame_idx").limit(500)),
     // --- HAS_MEDIA provenance edges ---
     "q_media_edges" -> ((s, d) =>
       graft.media.MediaFeatures.mediaEdges(
@@ -522,6 +532,32 @@ object SparkEntry {
          |SELECT media_ref,
          |  ${(0 until 8).map(i => s"ascii(substr(hx, ${i + 1}, 1)) AS f$i").mkString(", ")}
          |FROM h ORDER BY media_ref LIMIT 500""".stripMargin,
+    "q_media_resize" ->
+      s"""WITH sp AS (SELECT unnest(spans) AS s FROM ${p("docs_flat")}),
+         |m AS (SELECT DISTINCT s.media_ref AS media_ref FROM sp WHERE s.kind = 'media'),
+         |h AS (SELECT media_ref,
+         |  CAST(('0x' || substr(md5(media_ref), 1, 4))::UBIGINT % 2048 + 256 AS INTEGER) AS width,
+         |  CAST(('0x' || substr(md5(media_ref), 5, 4))::UBIGINT % 1024 + 144 AS INTEGER) AS height
+         |  FROM m),
+         |r AS (SELECT media_ref, width, height,
+         |  CASE WHEN width * 360 >= height * 640 THEN 640
+         |       ELSE greatest(1, CAST(floor(width * 360.0 / height) AS INTEGER)) END AS out_w,
+         |  CASE WHEN width * 360 >= height * 640
+         |       THEN greatest(1, CAST(floor(height * 640.0 / width) AS INTEGER)) ELSE 360 END AS out_h
+         |  FROM h)
+         |SELECT media_ref, width, height, out_w, out_h,
+         |  CAST(out_w AS BIGINT) * out_h * 3 AS out_bytes
+         |FROM r ORDER BY media_ref LIMIT 500""".stripMargin,
+    "q_frame_sample" ->
+      s"""WITH sp AS (SELECT unnest(spans) AS s FROM ${p("docs_flat")}),
+         |m AS (SELECT DISTINCT s.media_ref AS media_ref FROM sp WHERE s.kind = 'media'),
+         |h AS (SELECT media_ref,
+         |  CAST(('0x' || substr(md5(media_ref), 9, 4))::UBIGINT % 3600 + 10 AS INTEGER) AS duration_ds
+         |  FROM m)
+         |SELECT media_ref, CAST(g.frame_idx AS INTEGER) AS frame_idx,
+         |  CAST(floor(g.frame_idx * duration_ds / 4.0) AS INTEGER) AS ts_ds
+         |FROM h, UNNEST(generate_series(0, 3)) AS g(frame_idx)
+         |ORDER BY media_ref, frame_idx LIMIT 500""".stripMargin,
     "q_media_edges" ->
       s"""WITH pv AS (SELECT src_id, unnest(provenance) AS p FROM ${p("edges_flat")}),
          |pm AS (SELECT DISTINCT src_id AS node_id, p.media_ref AS media_ref
