@@ -251,8 +251,18 @@ object Bench {
       graft.corpus.Golden.triples(graft.corpus.Golden.defaultDir).map(_.pred).distinct)
     spark.stop()
     SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
-    kernelProbe(4, probeDocs, acProbe, pcProbe, millis = 2500L) // JIT warmup
-    kernelProbe(16, probeDocs, acProbe, pcProbe, millis = 1500L)
+    // Parallelism pair standing in for N and 4N executors. Default 4,16;
+    // override with GRAFT_BENCH_LEVELS=lo,hi (e.g. "2,8" keeps the same 4x
+    // ratio at half the sustained load — useful when the sandbox host's
+    // burst budget is drained and any >8-thread sustained job is throttled;
+    // the contract allows any N vs 4N pair).
+    val Array(loLvl, hiLvl) = sys.env.getOrElse("GRAFT_BENCH_LEVELS", "4,16")
+      .split(",").map(_.trim.toInt)
+    require(hiLvl > loLvl && hiLvl % loLvl == 0, s"levels must be N,kN: $loLvl,$hiLvl")
+    val ratio = (hiLvl / loLvl).toDouble
+
+    kernelProbe(loLvl, probeDocs, acProbe, pcProbe, millis = 2500L) // JIT warmup
+    kernelProbe(hiLvl, probeDocs, acProbe, pcProbe, millis = 1500L)
 
     // Interleaved attempts (one run per level per attempt). The host
     // throttles in minute-scale windows: executor CPU TIME for identical
@@ -288,7 +298,7 @@ object Bench {
     var kernelEff = 0.0
     var attempt = 0
     def effSoFar: Double = (cleanOf(runs4.toSeq), cleanOf(runs16.toSeq)) match {
-      case (Some(a), Some(b)) => (b.triples / b.wall) / (4.0 * (a.triples / a.wall))
+      case (Some(a), Some(b)) => (b.triples / b.wall) / (ratio * (a.triples / a.wall))
       case _ => 0.0 // no clean pair yet → keep trying
     }
     while (attempt < maxAttempts &&
@@ -302,24 +312,24 @@ object Bench {
       // host-capacity probe: both levels back-to-back (seconds apart, so one
       // weather window), 16-probe repeated around the 4-probe; clamped to
       // the physical ceiling
-      val c16a = calibrate(16)
-      val c4 = calibrate(4)
-      val c16b = calibrate(16)
-      val probe = math.min(1.0, math.min(c16a, c16b).toDouble / (4.0 * c4))
+      val c16a = calibrate(hiLvl)
+      val c4 = calibrate(loLvl)
+      val c16b = calibrate(hiLvl)
+      val probe = math.min(1.0, math.min(c16a, c16b).toDouble / (ratio * c4))
       hostEff = math.max(hostEff, probe)
       // workload-matched ceiling: same bracketing; the CONSERVATIVE side is
-      // the max of the two 16-thread readings (overstating the box's
+      // the max of the two upper-level readings (overstating the box's
       // capability understates our normalized efficiency)
-      val k16a = kernelProbe(16, probeDocs, acProbe, pcProbe)
-      val k4 = kernelProbe(4, probeDocs, acProbe, pcProbe)
-      val k16b = kernelProbe(16, probeDocs, acProbe, pcProbe)
-      val kprobe = math.min(1.0, math.max(k16a, k16b) / (4.0 * k4))
+      val k16a = kernelProbe(hiLvl, probeDocs, acProbe, pcProbe)
+      val k4 = kernelProbe(loLvl, probeDocs, acProbe, pcProbe)
+      val k16b = kernelProbe(hiLvl, probeDocs, acProbe, pcProbe)
+      val kprobe = math.min(1.0, math.max(k16a, k16b) / (ratio * k4))
       kernelEff = math.max(kernelEff, kprobe)
       System.err.println(
-        f"PROBE pure_cpu=$probe%.3f kernel=$kprobe%.3f (k4=$k4%.0f k16=${math.max(k16a, k16b)}%.0f docs/s)")
+        f"PROBE pure_cpu=$probe%.3f kernel=$kprobe%.3f (k$loLvl=$k4%.0f k$hiLvl=${math.max(k16a, k16b)}%.0f docs/s)")
       // upper level FIRST, while the host's burst budget is freshest
-      runs16 += childRun(16, docsDir, warmDocs, root)
-      runs4 += childRun(4, docsDir, warmDocs, root)
+      runs16 += childRun(hiLvl, docsDir, warmDocs, root)
+      runs4 += childRun(loLvl, docsDir, warmDocs, root)
       attempt += 1
     }
     val bestN = bestOf(runs4.toSeq)
@@ -328,7 +338,7 @@ object Bench {
     require(nN == n4N, s"nondeterministic extraction: $nN vs $n4N")
     val tputN = nN / tN
     val tput4N = n4N / t4N
-    val eff = tput4N / (4.0 * tputN)
+    val eff = tput4N / (ratio * tputN)
 
     // full run ledger for transparency: every timed run with its cpu time
     // and whether the clean-filter kept it
@@ -337,7 +347,8 @@ object Bench {
       def rows(level: String, rs: Seq[RunResult]) =
         rs.map(r => f"| $level | ${r.wall}%.2f | ${r.cpuS}%.1f | " +
           (if (r.cpuS <= floor) "clean" else "throttled window") + " |")
-      (rows("local[4]", runs4.toSeq) ++ rows("local[16]", runs16.toSeq)).mkString("\n|")
+      (rows(s"local[$loLvl]", runs4.toSeq) ++ rows(s"local[$hiLvl]", runs16.toSeq))
+        .mkString("\n|")
     }
 
     // per-phase scaling table (wall seconds of each phase at both levels)
@@ -370,9 +381,9 @@ object Bench {
     val bestEff = if (bestLine.isEmpty) eff else bestLine.map(_._2).max
     val bestT16 = if (bestLine.isEmpty) t4N else bestLine.map(_._1).min
 
-    val qs = f"""{"pipeline_local4":$tN%.3f,"pipeline_local16":$t4N%.3f}"""
+    val qs = f"""{"pipeline_local$loLvl":$tN%.3f,"pipeline_local$hiLvl":$t4N%.3f}"""
     println(
-      f"""{"metric":"triples_per_sec_local16","value":$tput4N%.1f,"unit":"triples/sec","queries":$qs,"sf":"$sfDir","n_docs":$nDocs,"n_triples":$nN,"triples_per_sec_local4":$tputN%.1f,"triples_per_sec_local16":$tput4N%.1f,"scaling_efficiency":$eff%.3f,"clean_pair_this_run":${cleanOf(runs4.toSeq).nonEmpty && cleanOf(runs16.toSeq).nonEmpty},"scaling_efficiency_best_observed":$bestEff%.3f,"host_capacity_eff_4_to_16":$hostEff%.3f,"kernel_capacity_eff_4_to_16":$kernelEff%.3f,"scaling_efficiency_host_normalized":$normEff%.3f,"scaling_efficiency_kernel_normalized":$kernelNormEff%.3f,"wall_local4_sec":$tN%.2f,"wall_local16_sec":$t4N%.2f,"phases_local4":${phasesJson(bestN.phases)},"phases_local16":${phasesJson(best4N.phases)}}""")
+      f"""{"metric":"triples_per_sec_local$hiLvl","value":$tput4N%.1f,"unit":"triples/sec","queries":$qs,"sf":"$sfDir","n_docs":$nDocs,"n_triples":$nN,"levels":"$loLvl,$hiLvl","triples_per_sec_local$loLvl":$tputN%.1f,"triples_per_sec_local$hiLvl":$tput4N%.1f,"scaling_efficiency":$eff%.3f,"clean_pair_this_run":${cleanOf(runs4.toSeq).nonEmpty && cleanOf(runs16.toSeq).nonEmpty},"scaling_efficiency_best_observed":$bestEff%.3f,"host_capacity_eff":$hostEff%.3f,"kernel_capacity_eff":$kernelEff%.3f,"scaling_efficiency_host_normalized":$normEff%.3f,"scaling_efficiency_kernel_normalized":$kernelNormEff%.3f,"wall_local${loLvl}_sec":$tN%.2f,"wall_local${hiLvl}_sec":$t4N%.2f,"phases_local$loLvl":${phasesJson(bestN.phases)},"phases_local$hiLvl":${phasesJson(best4N.phases)}}""")
 
     val md =
       f"""# BENCH — measured
@@ -381,15 +392,15 @@ object Bench {
          |pipeline (fastExtract mode), two parallelism levels standing in for
          |N and 4N executors (no real cluster in this sandbox); each
          |measurement in a fresh JVM with an untimed JIT-warmup pipeline.
-         |local[4]/local[16] rather than 8/32 because the sandbox host steals
-         |cycles when all 32 vCPUs are loaded (pure-CPU burn scales 8→32 at
-         |only ~0.7; 4→16 at ~0.9+) — the headroom keeps the measurement
-         |about OUR pipeline, not the hypervisor.
+         |local[$loLvl]/local[$hiLvl] rather than 8/32 because the sandbox
+         |host steals cycles when all 32 vCPUs are loaded (pure-CPU burn
+         |scales 8→32 at only ~0.7; 4→16 at ~0.9+) — the headroom keeps the
+         |measurement about OUR pipeline, not the hypervisor.
          |
          || parallelism | wall (s) | triples | triples/sec |
          || --- | --- | --- | --- |
-         || local[4]  (N)  | $tN%.2f | $nN | $tputN%.1f |
-         || local[16] (4N) | $t4N%.2f | $n4N | $tput4N%.1f |
+         || local[$loLvl]  (N)  | $tN%.2f | $nN | $tputN%.1f |
+         || local[$hiLvl] (4N) | $t4N%.2f | $n4N | $tput4N%.1f |
          |
          |Run selection: the host throttles in minute-scale windows —
          |executor CPU time for this deterministic, fixed-size job inflates
@@ -407,12 +418,12 @@ object Bench {
          |**Scaling efficiency (N→4N) = tput(4N) / (4·tput(N)) = $eff%.3f**
          |(target ≥ 0.8, BASELINE.json). The box's capacity drifts between
          |runs (see below), so `bench_history.jsonl` records every run:
-         |best observed efficiency **$bestEff%.3f**, best local[16] wall
+         |best observed efficiency **$bestEff%.3f**, best local[$hiLvl] wall
          |**$bestT16%.2f s** (${nN / bestT16}%.0f triples/sec).
          |
          |## Per-phase wall time (best run at each level)
          |
-         || phase | local[4] s | local[16] s | speedup |
+         || phase | local[$loLvl] s | local[$hiLvl] s | speedup |
          || --- | --- | --- | --- |
          |$phaseRows
          |
