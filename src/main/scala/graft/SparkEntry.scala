@@ -460,12 +460,13 @@ object SparkEntry {
          |  len(list_filter(string_split_regex(trim(text), '\\s+'), w -> len(w) > 0)) AS n_tokens
          |FROM $docsLong ORDER BY doc_id""".stripMargin,
     "q_bpeish_tokens" -> {
-      // same pattern string; DuckDB single-quoted literals keep backslashes
+      // same pattern strings; DuckDB single-quoted literals keep backslashes
       // verbatim, only embedded quotes need doubling
       val pat = graft.text.TextOps.BpeishPattern.replace("'", "''")
+      val ws = graft.text.TextOps.WsRunPattern
       s"""SELECT doc_id,
          |  len(list_filter(regexp_extract_all(text, '$pat'),
-         |      t -> NOT regexp_matches(t, '^\\s+$$'))) AS n_bpeish
+         |      t -> NOT regexp_matches(t, '$ws'))) AS n_bpeish
          |FROM $docsLong ORDER BY doc_id""".stripMargin
     },
     "q_quality" ->

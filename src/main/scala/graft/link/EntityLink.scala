@@ -63,10 +63,14 @@ object EntityLink {
     // ambiguous surface set is dictionary-sized → broadcast semi-join.
     val (docVec, docNorm) =
       if (!ambiguous.isEmpty) {
+        // docs POSSIBLY hosting an ambiguous mention, by substring test
+        // against the raw text — a cheap superset of the true hosting set
+        // that depends only on the docsText scan (deriving it from the
+        // extraction plan would re-run the corpus-scale kernel here), and
+        // the broadcast side is the dictionary-sized ambiguous surface set
         val ambSurf = ambiguous.select(col("alias")).distinct()
-        val ambDocs = triples
-          .join(broadcast(ambSurf),
-            col("subj") === col("alias") || col("obj") === col("alias"), "left_semi")
+        val ambDocs = docsText
+          .join(broadcast(ambSurf), col("text").contains(col("alias")), "left_semi")
           .select("doc_id").distinct()
         docTermVectors(docsText.join(ambDocs, Seq("doc_id"), "left_semi"))
       } else (null, null)
@@ -118,8 +122,14 @@ object EntityLink {
           .groupBy("triple_id", "doc_id", "cand", "cand_prior")
           .agg(sum(coalesce(col("w"), lit(0.0))).as("dot"),
             count(lit(1)).as("ntok"))
+        // norm can be exactly 0.0 when the ambiguity-context corpus is a
+        // single doc (every IDF is log(2/2)=0): guard it or cos becomes
+        // 0.0/0.0 = NaN and the best-candidate window degrades to
+        // alphabetical — with a zero norm the context carries no signal and
+        // cos=0 lets the prior decide, which is the right degradation
         val sim = dots.join(docNorm, Seq("doc_id"), "left")
-          .withColumn("cos", col("dot") / (coalesce(col("norm"), lit(1.0)) * sqrt(col("ntok"))))
+          .withColumn("cos", col("dot") /
+            (when(col("norm") > 0, col("norm")).otherwise(lit(1.0)) * sqrt(col("ntok"))))
           .withColumn("sc", col("cand_prior") * (lit(1.0) + col("cos")))
         val w = Window.partitionBy(col("triple_id")).orderBy(col("sc").desc, col("cand").asc)
         val best = sim.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)

@@ -15,11 +15,21 @@ object TextOps {
   def tokenCount(text: Column): Column =
     size(filter(split(trim(text), "\\s+"), t => length(t) > 0))
 
+  /** Explicit whitespace class — Java's \s includes \x0B, RE2's does not,
+    * so the shared pattern spells the class out to keep both engines
+    * byte-identical. */
+  val WsClass: String = "\\t\\n\\x0B\\f\\r "
+
   /** GPT-2-style pre-tokenizer pattern: contractions, optional-space letter
-    * runs, digit runs, punctuation runs, whitespace. No lookarounds — the
-    * same pattern compiles under Java regex (Spark) and RE2 (DuckDB). */
+    * runs, digit runs, punctuation runs, whitespace. No lookarounds, no \\s
+    * — the same pattern means the same thing under Java regex (Spark) and
+    * RE2 (DuckDB). */
   val BpeishPattern: String =
-    "'s|'t|'re|'ve|'m|'ll|'d| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+"
+    s"'s|'t|'re|'ve|'m|'ll|'d| ?\\p{L}+| ?\\p{N}+| ?[^$WsClass\\p{L}\\p{N}]+|[$WsClass]+"
+
+  /** Whitespace-run matcher used to drop whitespace tokens, shared with the
+    * DuckDB oracle. */
+  val WsRunPattern: String = s"^[$WsClass]+$$"
 
   /** BPE-ish token count: matches of [[BpeishPattern]] minus pure-whitespace
     * runs — a cheap upper-bound proxy for subword token counts (the real
@@ -27,7 +37,7 @@ object TextOps {
     * engine-side part). Pure codegen'd column expression. */
   def bpeishTokenCount(text: Column): Column =
     size(filter(regexp_extract_all(text, lit(BpeishPattern), lit(0)),
-      t => !(t rlike "^\\s+$")))
+      t => !(t rlike WsRunPattern)))
 
   /** Exact-duplicate groups by content hash (hash-groupBy dedup; map-side
     * combine makes this one cheap shuffle at any scale). */

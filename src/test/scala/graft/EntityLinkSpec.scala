@@ -49,6 +49,19 @@ class EntityLinkSpec extends SparkSuite {
     assert(bySubj("dc") == "Mercury (element)")
   }
 
+  test("single-ambiguity-doc corpus: zero IDF degrades to prior, never NaN") {
+    // one doc hosting the only ambiguous mention → IDF is log(2/2)=0 for
+    // every token, norms are 0 — the guard must keep cos at 0 (prior
+    // decides, name tie-break), not 0/0 = NaN
+    val oneDoc = Seq(("dz", "Mercury IsA thing.")).toDF("doc_id", "text")
+    val linked = EntityLink.link(spark,
+      raw(("dz", "Mercury", "IsA", "Machine Learning", true, true)), aliases, oneDoc)
+    val row = linked.select("subj", "score").as[(String, Double)].collect()
+    assert(row.length == 1)
+    assert(!row(0)._2.isNaN, s"score must not be NaN: ${row(0)}")
+    assert(row(0)._1 == "Mercury (element)") // equal priors → name asc
+  }
+
   test("ungrounded candidates: valid enters as new entity, invalid drops the triple") {
     val linked = EntityLink.link(spark,
       raw(("da", "Gradient Descent", "UsedBy", "Machine Learning", false, true),
