@@ -124,34 +124,41 @@ object Bench {
       ac: graft.extract.AhoCorasick, pc: graft.extract.AhoCorasick,
       millis: Long = 3000L): Double = {
     import graft.model.{Doc, Span}
+    require(docs.nonEmpty, "kernelProbe needs a non-empty doc slice")
     val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
     val done = new java.util.concurrent.atomic.AtomicLong()
     val ready = new java.util.concurrent.CountDownLatch(threads)
     val go = new java.util.concurrent.CountDownLatch(1)
+    // a dead worker thread would silently zero the probe and poison the
+    // normalized efficiencies downstream — capture and rethrow
+    val failure = new java.util.concurrent.atomic.AtomicReference[Throwable]()
     val ts = (0 until threads).map { t =>
       new Thread(() => {
-        // THREAD-LOCAL deep copy of this thread's slice: every Spark task
-        // decodes its own partition into task-local memory, so the probe
-        // must scan thread-local object graphs too — 16 threads chasing one
-        // shared driver-materialized graph measures a different (worse)
-        // memory pattern than the pipeline ever executes
-        val mine: Array[Doc] = Array.tabulate(docs.length / threads) { j =>
-          val d = docs(j * threads + t)
-          Doc(new String(d.doc_id), d.spans.map(s =>
-            Span(new String(s.kind), new String(s.text), new String(s.media_ref), s.offset)))
-        }
-        ready.countDown()
-        go.await()
-        var i = 0
-        var local = 0L
-        var sink = 0L // blackhole: keep the JIT honest
-        while (!stop.get()) {
-          val it = graft.extract.Extract.docTriples(mine(i % mine.length), ac, pc)
-          while (it.hasNext) sink += it.next().subj.length
-          local += 1
-          i += 1
-        }
-        if (sink != Long.MinValue) done.addAndGet(local)
+        try {
+          // THREAD-LOCAL deep copy of this thread's slice: every Spark task
+          // decodes its own partition into task-local memory, so the probe
+          // must scan thread-local object graphs too — 16 threads chasing one
+          // shared driver-materialized graph measures a different (worse)
+          // memory pattern than the pipeline ever executes.
+          // Slice size clamped to ≥1 (threads may exceed docs on tiny inputs).
+          val mine: Array[Doc] = Array.tabulate(math.max(1, docs.length / threads)) { j =>
+            val d = docs((j * threads + t) % docs.length)
+            Doc(new String(d.doc_id), d.spans.map(s =>
+              Span(new String(s.kind), new String(s.text), new String(s.media_ref), s.offset)))
+          }
+          ready.countDown()
+          go.await()
+          var i = 0
+          var local = 0L
+          var sink = 0L // blackhole: keep the JIT honest
+          while (!stop.get()) {
+            val it = graft.extract.Extract.docTriples(mine(i % mine.length), ac, pc)
+            while (it.hasNext) sink += it.next().subj.length
+            local += 1
+            i += 1
+          }
+          if (sink != Long.MinValue) done.addAndGet(local)
+        } catch { case e: Throwable => failure.compareAndSet(null, e); ready.countDown() }
       })
     }
     ts.foreach(_.start())
@@ -160,6 +167,7 @@ object Bench {
     Thread.sleep(millis)
     stop.set(true)
     ts.foreach(_.join())
+    if (failure.get() != null) throw failure.get()
     done.get() * 1000.0 / millis
   }
 
@@ -287,45 +295,60 @@ object Bench {
     // throttles in minute-scale windows: executor CPU TIME for identical
     // work (the job is deterministic — same 25M triples every run) inflates
     // up to ~9x inside a throttled window, and the CLEAN cpu cost is
-    // level-independent (~220 CPU·s at both 4 and 16 threads, measured), so
-    // one GLOBAL cpu floor detects throttling at either level: a run is
-    // clean iff its cpuS ≤ 1.35 × the minimum observed across ALL runs.
+    // level-independent at ≤8 threads (~220 CPU·s at 2/4/8, measured), so
+    // the global min anchors a cpu floor that detects throttling at either
+    // level. Above 8 threads, CLEAN runs legitimately carry 1.5-1.8×
+    // executor-CPU inflation from single-socket memory contention (measured
+    // at 16 vs 4), so the floor multiplier is LEVEL-DEPENDENT — a global
+    // 1.35× floor would misclassify every clean 16/32-thread run as
+    // throttled and the retry loop would burn its budget for nothing.
     // The reported pair is the fastest clean run per level — a throttled
-    // local[4] can't inflate the ratio (eff > 1 is physically impossible
-    // for this pipeline) and a throttled local[16] can't deflate it.
-    // Between retry attempts the harness idles (cool-down) so the
-    // hypervisor's burst budget refills.
-    val maxAttempts = math.max(1, sys.env.get("GRAFT_BENCH_ATTEMPTS").map(_.toInt).getOrElse(3))
+    // lower-level run can't inflate the ratio (eff > 1 is physically
+    // impossible for this pipeline) and a throttled upper-level run can't
+    // deflate it. Between retry attempts the harness idles (cool-down) so
+    // the hypervisor's burst budget refills; the loop keeps re-running
+    // until BOTH levels have a clean run in THIS invocation (and the
+    // resulting efficiency is in-band) or the wall budget is exhausted.
+    val maxAttempts = math.max(1, sys.env.get("GRAFT_BENCH_ATTEMPTS").map(_.toInt).getOrElse(6))
     val cooldownMs = sys.env.get("GRAFT_BENCH_COOLDOWN_MS").map(_.toLong).getOrElse(240000L)
     // wall-clock budget for the whole retry loop: inside a long throttled
     // window, retries are better abandoned than timing out the caller —
     // the JSON then carries clean_pair_this_run=false + best observed
     val budgetMs = sys.env.get("GRAFT_BENCH_BUDGET_MS").map(_.toLong).getOrElse(1500000L)
     val loopT0 = System.currentTimeMillis()
-    val runs4 = scala.collection.mutable.ArrayBuffer.empty[RunResult]
-    val runs16 = scala.collection.mutable.ArrayBuffer.empty[RunResult]
-    def globalMinCpu: Double = (runs4 ++ runs16).map(_.cpuS).min
-    def cleanOf(rs: Seq[RunResult]): Option[RunResult] = {
-      val floor = globalMinCpu * 1.35
-      val clean = rs.filter(_.cpuS <= floor)
+    val runsLo = scala.collection.mutable.ArrayBuffer.empty[RunResult]
+    val runsHi = scala.collection.mutable.ArrayBuffer.empty[RunResult]
+    def globalMinCpu: Double = (runsLo ++ runsHi).map(_.cpuS).min
+    // clean-run CPU ceiling per level: 1.35× the global min at ≤8 threads;
+    // 2.2× above 8 (covers the measured 1.5-1.8× memory-contention
+    // inflation of CLEAN high-thread runs, still far below the ~9×
+    // throttled-window inflation)
+    def cleanMult(level: Int): Double = if (level > 8) 2.2 else 1.35
+    def isClean(r: RunResult, level: Int): Boolean =
+      r.cpuS <= cleanMult(level) * globalMinCpu
+    def cleanOf(rs: Seq[RunResult], level: Int): Option[RunResult] = {
+      val clean = rs.filter(isClean(_, level))
       if (clean.isEmpty) None else Some(clean.minBy(_.wall))
     }
     // fallback when a level never saw a clean window: its least-throttled run
-    def bestOf(rs: Seq[RunResult]): RunResult =
-      cleanOf(rs).getOrElse(rs.minBy(_.cpuS))
+    def bestOf(rs: Seq[RunResult], level: Int): RunResult =
+      cleanOf(rs, level).getOrElse(rs.minBy(_.cpuS))
     var hostEff = 0.0
     var kernelEff = 0.0
     var attempt = 0
-    def effSoFar: Double = (cleanOf(runs4.toSeq), cleanOf(runs16.toSeq)) match {
-      case (Some(a), Some(b)) => (b.triples / b.wall) / (ratio * (a.triples / a.wall))
-      case _ => 0.0 // no clean pair yet → keep trying
-    }
+    def effSoFar: Double =
+      (cleanOf(runsLo.toSeq, loLvl), cleanOf(runsHi.toSeq, hiLvl)) match {
+        case (Some(a), Some(b)) => (b.triples / b.wall) / (ratio * (a.triples / a.wall))
+        case _ => 0.0 // no clean pair yet → keep trying
+      }
     while (attempt < maxAttempts &&
         (attempt == 0 || // the first attempt always runs, whatever the budget
           ((System.currentTimeMillis() - loopT0) < budgetMs &&
             (effSoFar < 0.8 || effSoFar > 1.02)))) {
       if (attempt > 0) {
-        System.err.println(s"COOLDOWN ${cooldownMs}ms (eff so far: $effSoFar)")
+        System.err.println(s"COOLDOWN ${cooldownMs}ms (eff so far: $effSoFar, " +
+          s"clean lo=${runsLo.count(isClean(_, loLvl))}/${runsLo.size} " +
+          s"hi=${runsHi.count(isClean(_, hiLvl))}/${runsHi.size})")
         Thread.sleep(cooldownMs)
       }
       // host-capacity probe: both levels back-to-back (seconds apart, so one
@@ -347,12 +370,17 @@ object Bench {
       System.err.println(
         f"PROBE pure_cpu=$probe%.3f kernel=$kprobe%.3f (k$loLvl=$k4%.0f k$hiLvl=${math.max(k16a, k16b)}%.0f docs/s)")
       // upper level FIRST, while the host's burst budget is freshest
-      runs16 += childRun(hiLvl, docsDir, warmDocs, root)
-      runs4 += childRun(loLvl, docsDir, warmDocs, root)
+      runsHi += childRun(hiLvl, docsDir, warmDocs, root)
+      runsLo += childRun(loLvl, docsDir, warmDocs, root)
       attempt += 1
     }
-    val bestN = bestOf(runs4.toSeq)
-    val best4N = bestOf(runs16.toSeq)
+    Seq((loLvl, runsLo), (hiLvl, runsHi)).foreach { case (lvl, rs) =>
+      if (!rs.exists(isClean(_, lvl)))
+        System.err.println(s"WARN level local[$lvl] has ZERO clean runs " +
+          s"after $attempt attempt(s) — reporting its lowest-CPU run, flagged")
+    }
+    val bestN = bestOf(runsLo.toSeq, loLvl)
+    val best4N = bestOf(runsHi.toSeq, hiLvl)
     val (tN, nN, t4N, n4N) = (bestN.wall, bestN.triples, best4N.wall, best4N.triples)
     require(nN == n4N, s"nondeterministic extraction: $nN vs $n4N")
     val tputN = nN / tN
@@ -362,13 +390,13 @@ object Bench {
     // full run ledger for transparency: every timed run with its cpu time
     // and whether the clean-filter kept it
     val ledger = {
-      val floor = globalMinCpu * 1.35
-      def rows(level: String, rs: Seq[RunResult]) =
-        rs.map(r => f"| $level | ${r.wall}%.2f | ${r.cpuS}%.1f | " +
-          (if (r.cpuS <= floor) "clean" else "throttled window") + " |")
-      (rows(s"local[$loLvl]", runs4.toSeq) ++ rows(s"local[$hiLvl]", runs16.toSeq))
-        .mkString("\n|")
+      def rows(lvl: Int, rs: Seq[RunResult]) =
+        rs.map(r => f"| local[$lvl] | ${r.wall}%.2f | ${r.cpuS}%.1f | " +
+          (if (isClean(r, lvl)) "clean" else "throttled window") + " |")
+      (rows(loLvl, runsLo.toSeq) ++ rows(hiLvl, runsHi.toSeq)).mkString("\n|")
     }
+    val cleanPair = cleanOf(runsLo.toSeq, loLvl).nonEmpty &&
+      cleanOf(runsHi.toSeq, hiLvl).nonEmpty
 
     // per-phase scaling table (wall seconds of each phase at both levels)
     val phaseKeys = (bestN.phases.keySet ++ best4N.phases.keySet).toSeq.sorted
@@ -381,15 +409,19 @@ object Bench {
 
     val normEff = eff / math.max(hostEff, 1e-9)
     val kernelNormEff = eff / math.max(kernelEff, 1e-9)
-    // append to the run history; BENCH.md reports latest AND best observed
+    // append to the run history; BENCH.md reports latest AND best observed.
+    // Keys are level-neutral (t_n / t_4n — the actual levels are in "lvl");
+    // legacy rows used t4/t16 keys regardless of the pair, so the parser
+    // accepts both spellings.
     val histPath = Paths.get("/root/repo/bench_history.jsonl")
-    val histLine = f"""{"t4":$tN%.3f,"t16":$t4N%.3f,"eff":$eff%.3f,"host":$hostEff%.3f,"kernel":$kernelEff%.3f,"n":$nN,"n_docs":$nDocs,"lvl":"$loLvl,$hiLvl"}"""
+    val histLine = f"""{"t_n":$tN%.3f,"t_4n":$t4N%.3f,"eff":$eff%.3f,"host":$hostEff%.3f,"kernel":$kernelEff%.3f,"n":$nN,"n_docs":$nDocs,"lvl":"$loLvl,$hiLvl","clean_pair":$cleanPair}"""
     Files.writeString(histPath, histLine + "\n",
       java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.APPEND)
     val bestLine = scala.jdk.CollectionConverters.IteratorHasAsScala(
       Files.readAllLines(histPath).iterator).asScala
       .flatMap { l =>
-        val m = """"t16":([0-9.]+).*?"eff":([0-9.]+).*"n_docs":([0-9]+)""".r.findFirstMatchIn(l)
+        val m = """"(?:t16|t_4n)":([0-9.]+).*?"eff":([0-9.]+).*"n_docs":([0-9]+)""".r
+          .findFirstMatchIn(l)
         val lvl = """"lvl":"([0-9,]+)"""".r.findFirstMatchIn(l)
           .map(_.group(1)).getOrElse("4,16") // pre-levels history rows ran 4,16
         m.map(x => (x.group(1).toDouble, x.group(2).toDouble, x.group(3).toLong, lvl))
@@ -404,7 +436,7 @@ object Bench {
 
     val qs = f"""{"pipeline_local$loLvl":$tN%.3f,"pipeline_local$hiLvl":$t4N%.3f}"""
     println(
-      f"""{"metric":"triples_per_sec_local$hiLvl","value":$tput4N%.1f,"unit":"triples/sec","queries":$qs,"sf":"$sfDir","n_docs":$nDocs,"n_triples":$nN,"levels":"$loLvl,$hiLvl","triples_per_sec_local$loLvl":$tputN%.1f,"triples_per_sec_local$hiLvl":$tput4N%.1f,"triples_per_sec_n":$tputN%.1f,"triples_per_sec_4n":$tput4N%.1f,"wall_n_sec":$tN%.2f,"wall_4n_sec":$t4N%.2f,"host_capacity_eff_n_to_4n":$hostEff%.3f,"kernel_capacity_eff_n_to_4n":$kernelEff%.3f,"scaling_efficiency":$eff%.3f,"clean_pair_this_run":${cleanOf(runs4.toSeq).nonEmpty && cleanOf(runs16.toSeq).nonEmpty},"scaling_efficiency_best_observed":$bestEff%.3f,"host_capacity_eff":$hostEff%.3f,"kernel_capacity_eff":$kernelEff%.3f,"scaling_efficiency_host_normalized":$normEff%.3f,"scaling_efficiency_kernel_normalized":$kernelNormEff%.3f,"wall_local${loLvl}_sec":$tN%.2f,"wall_local${hiLvl}_sec":$t4N%.2f,"phases_local$loLvl":${phasesJson(bestN.phases)},"phases_local$hiLvl":${phasesJson(best4N.phases)}}""")
+      f"""{"metric":"triples_per_sec_local$hiLvl","value":$tput4N%.1f,"unit":"triples/sec","queries":$qs,"sf":"$sfDir","n_docs":$nDocs,"n_triples":$nN,"levels":"$loLvl,$hiLvl","triples_per_sec_local$loLvl":$tputN%.1f,"triples_per_sec_local$hiLvl":$tput4N%.1f,"triples_per_sec_n":$tputN%.1f,"triples_per_sec_4n":$tput4N%.1f,"wall_n_sec":$tN%.2f,"wall_4n_sec":$t4N%.2f,"host_capacity_eff_n_to_4n":$hostEff%.3f,"kernel_capacity_eff_n_to_4n":$kernelEff%.3f,"scaling_efficiency":$eff%.3f,"clean_pair_this_run":$cleanPair,"scaling_efficiency_best_observed":$bestEff%.3f,"host_capacity_eff":$hostEff%.3f,"kernel_capacity_eff":$kernelEff%.3f,"scaling_efficiency_host_normalized":$normEff%.3f,"scaling_efficiency_kernel_normalized":$kernelNormEff%.3f,"wall_local${loLvl}_sec":$tN%.2f,"wall_local${hiLvl}_sec":$t4N%.2f,"phases_local$loLvl":${phasesJson(bestN.phases)},"phases_local$hiLvl":${phasesJson(best4N.phases)}}""")
 
     val md =
       f"""# BENCH — measured
@@ -429,12 +461,19 @@ object Bench {
          |
          |Run selection: the host throttles in minute-scale windows —
          |executor CPU time for this deterministic, fixed-size job inflates
-         |up to ~9× inside one (see ledger), and the clean CPU cost is
-         |level-independent. A run is CLEAN iff its CPU time is within 1.35×
-         |of the minimum observed across all runs; the reported pair is the
-         |fastest clean run per level, so a throttled window at either level
-         |can neither inflate nor deflate the ratio. Retry attempts idle
-         |first so the hypervisor burst budget refills. All runs:
+         |up to ~9× inside one (see ledger). A run is CLEAN iff its CPU time
+         |is within a level-dependent multiple of the minimum observed across
+         |all runs: 1.35× at ≤8 threads (clean CPU is level-independent
+         |there), 2.2× above 8 threads (clean high-thread runs legitimately
+         |carry 1.5-1.8× memory-contention inflation on this single socket).
+         |The reported pair is the fastest clean run per level when one
+         |exists; a level with zero clean runs falls back to its lowest-CPU
+         |run and is flagged here. **This invocation's reported pair:
+         |${if (cleanPair) "CLEAN at both levels" else
+             "NOT clean (at least one level never saw a clean window)"}.**
+         |Retry attempts idle first so the hypervisor burst budget refills,
+         |and the loop re-runs until both levels have a clean run in this
+         |invocation or the wall budget is exhausted. All runs:
          |
          || level | wall (s) | executor CPU (s) | filter |
          || --- | --- | --- | --- |

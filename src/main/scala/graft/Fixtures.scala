@@ -61,7 +61,7 @@ object Fixtures {
     val r = root(sfDir)
     // bump the suffix whenever fixture content changes so stale round-N
     // fixtures regenerate (deterministic, ~30s at sf0.01)
-    val ready = Paths.get(r, "_READY_v4")
+    val ready = Paths.get(r, "_READY_v5")
     if (Files.exists(ready)) return r
     import spark.implicits._
 
@@ -128,8 +128,12 @@ object Fixtures {
     embT.filter(col("vec_id") < 100).union(exactE).union(nearE)
       .coalesce(1).write.mode("overwrite").parquet(s"$r/dedup_embs")
 
-    // IVF coarse quantizer trained once on the full embedding table — the
-    // centroid model the q_ann_ivf query AND its DuckDB oracle both read
+    // IVF coarse quantizer: seeds (the sample-based farthest-first model —
+    // persisted so q_ivf_train can replay one Lloyd round from a FIXED seed
+    // set in DuckDB, independently verifying the training kernel) and the
+    // fully trained centroids the q_ann_ivf query AND its oracle both read
+    graft.sim.Ann.ivfSeeds(embT, k = 16)
+      .coalesce(1).write.mode("overwrite").parquet(s"$r/ivf_seeds")
     graft.sim.Ann.ivfTrain(embT, k = 16, iters = 5)
       .coalesce(1).write.mode("overwrite").parquet(s"$r/ivf_centroids")
 

@@ -63,6 +63,10 @@ object SparkEntry {
     // --- F7 substring search ---
     "q_search" -> ((s, d) =>
       KgQueries.search(Fixtures.nodesFlat(s, d), "Data")),
+    // --- F7 substring search where the LIMIT 10 binds (>10 hits, so the
+    //     deterministic name-order tie behavior is what's being checked) ---
+    "q_search_limit" -> ((s, d) =>
+      KgQueries.search(Fixtures.nodesFlat(s, d), "a")),
     // --- F5 concept-name projection ---
     "q_concept_names" -> ((s, d) =>
       KgQueries.conceptNames(Fixtures.nodesFlat(s, d))),
@@ -223,6 +227,19 @@ object SparkEntry {
         dim = Fixtures.AnnDim, threshold = 0.95)
         .orderBy("a", "b")
     }),
+    // --- IVF TRAINING kernel: one Lloyd round from the persisted seed
+    //     model (sample-based farthest-first seeding, q.v. Ann.ivfSeeds);
+    //     the oracle independently replays nearest-seed assignment and the
+    //     per-cell mean from the ivf_seeds fixture — training is no longer
+    //     self-certified ---
+    "q_ivf_train" -> ((s, d) => {
+      val r = Fixtures.ensure(s, d)
+      graft.sim.Ann.lloydRound(s.read.parquet(s"$d/embeddings.parquet"),
+          s.read.parquet(s"$r/ivf_seeds"))
+        .select(col("cid"), col("n"), posexplode(col("c")).as(Seq("pos", "m")))
+        .select(col("cid"), col("n"), col("pos"), round(col("m"), 6).as("m6"))
+        .orderBy("cid", "pos")
+    }),
     // --- IVF ANN (k-means coarse quantizer, nprobe cells); oracle replays
     //     assignment + probing + scoring from the ivf_centroids fixture ---
     "q_ann_ivf" -> ((s, d) => {
@@ -358,6 +375,9 @@ object SparkEntry {
          |GROUP BY pred_norm ORDER BY pred_norm""".stripMargin,
     "q_search" ->
       s"""SELECT name FROM ${p("nodes_flat")} WHERE contains(name, 'Data')
+         |ORDER BY name LIMIT 10""".stripMargin,
+    "q_search_limit" ->
+      s"""SELECT name FROM ${p("nodes_flat")} WHERE contains(name, 'a')
          |ORDER BY name LIMIT 10""".stripMargin,
     "q_concept_names" ->
       s"""SELECT DISTINCT canonical_name AS name FROM ${p("nodes_flat")} ORDER BY name""".stripMargin,
@@ -641,6 +661,25 @@ object SparkEntry {
          |    (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 5) AS cos5
          |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
          |SELECT a, b, cos5 FROM pr WHERE cos5 >= 0.95 ORDER BY a, b""".stripMargin,
+    // IVF TRAINING replay from the ivf_seeds fixture: nearest-seed
+    // assignment (same L2² identity and cid tie-break as the Spark kernel)
+    // then the per-cell elementwise mean — one full Lloyd round re-derived
+    // in SQL, so the training kernel (not just search) is oracled
+    "q_ivf_train" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+         |  FROM read_parquet('/root/testdata/sf0.01/embeddings.parquet')),
+         |c AS (SELECT cid, c::DOUBLE[] AS c FROM ${p("ivf_seeds")}),
+         |asg AS (SELECT vec_id, v, cid FROM (
+         |  SELECT e.vec_id, e.v, c.cid, row_number() OVER (PARTITION BY e.vec_id ORDER BY
+         |    list_dot_product(e.v, e.v) + list_dot_product(c.c, c.c)
+         |      - 2 * list_dot_product(e.v, c.c) ASC, c.cid ASC) AS rk
+         |  FROM e CROSS JOIN c) WHERE rk = 1),
+         |cnt AS (SELECT cid, count(*) AS n FROM asg GROUP BY cid),
+         |x AS (SELECT cid, generate_subscripts(v, 1) - 1 AS pos, unnest(v) AS x FROM asg)
+         |SELECT x.cid, cnt.n, CAST(x.pos AS INTEGER) AS pos, round(avg(x.x), 6) AS m6
+         |FROM x JOIN cnt USING (cid)
+         |GROUP BY x.cid, cnt.n, x.pos
+         |ORDER BY cid, pos""".stripMargin,
     // full IVF replay from the ivf_centroids fixture: nearest-cell
     // assignment (L2² = |x|²+|c|²−2x·c, same three dots in the same order),
     // nprobe probing, exact-cosine scoring, top-k

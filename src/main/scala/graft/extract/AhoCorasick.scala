@@ -83,6 +83,22 @@ final class AhoCorasick private (
     out.result()
   }
 
+  /** True iff ANY pattern occurs in `text` as a plain substring (no word
+    * boundary gating) — the automaton equivalent of
+    * `patterns.exists(text.contains)`, in ONE O(|text|) pass instead of one
+    * scan per pattern. Early-exits at the first hit. */
+  def containsAnySubstring(text: String): Boolean = {
+    var state = 0
+    var i = 0
+    val n = text.length
+    while (i < n) {
+      state = step(state, text.charAt(i))
+      if (outputs(state).length > 0) return true
+      i += 1
+    }
+    false
+  }
+
   def contains(s: String): Boolean = {
     var state = 0
     var i = 0

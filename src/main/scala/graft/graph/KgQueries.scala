@@ -158,22 +158,38 @@ object KgQueries {
       maxHops: Int, maxNodes: Int = Int.MaxValue): DataFrame = {
     val adj = edges.select(col("src_id"), col("dst_id")).distinct()
       .localCheckpoint()
-    var visited = nodes.filter(col("name") === seedName)
-      .select(col("node_id"), lit(0).as("hops"))
+    val named = nodes.select(col("node_id"), col("name"))
+    var visited = named.filter(col("name") === seedName)
+      .withColumn("hops", lit(0))
       .localCheckpoint()
+    var visitedCount = visited.count()
     var frontier = visited
     var hop = 0
-    while (hop < maxHops && !frontier.isEmpty) {
+    // the maxNodes budget binds INSIDE the loop, per hop — the reference
+    // caps the frontier during expansion (graph.go:66-70), so on a dense
+    // graph the intermediate frontier never outgrows the node cap; winners
+    // per hop are deterministic by (hops, name)
+    while (hop < maxHops && visitedCount < maxNodes && !frontier.isEmpty) {
       hop += 1
-      val next = frontier.join(adj, frontier("node_id") === adj("src_id"))
+      val candidates = frontier.join(adj, frontier("node_id") === adj("src_id"))
         .select(col("dst_id").as("node_id"), lit(hop).as("hops"))
         .distinct()
         .join(visited.select("node_id"), Seq("node_id"), "left_anti")
+        .join(named, Seq("node_id"))
         .localCheckpoint()
-      visited = visited.unionByName(next).localCheckpoint()
+      val nCand = candidates.count()
+      val budget = maxNodes.toLong - visitedCount
+      val next =
+        if (nCand > budget)
+          candidates.orderBy(col("hops").asc, col("name").asc)
+            .limit(budget.toInt).localCheckpoint()
+        else candidates
+      visitedCount += math.min(nCand, budget)
+      visited = visited.unionByName(next.select(visited.columns.map(col): _*))
+        .localCheckpoint()
       frontier = next
     }
-    visited.join(nodes.select(col("node_id"), col("name")), Seq("node_id"))
+    visited
       .orderBy(col("hops").asc, col("name").asc).limit(maxNodes)
       .select("node_id", "name", "hops")
   }

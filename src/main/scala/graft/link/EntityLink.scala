@@ -66,11 +66,23 @@ object EntityLink {
         // docs POSSIBLY hosting an ambiguous mention, by substring test
         // against the raw text — a cheap superset of the true hosting set
         // that depends only on the docsText scan (deriving it from the
-        // extraction plan would re-run the corpus-scale kernel here), and
-        // the broadcast side is the dictionary-sized ambiguous surface set
-        val ambSurf = ambiguous.select(col("alias")).distinct()
+        // extraction plan would re-run the corpus-scale kernel here).
+        // The test is ONE broadcast Aho-Corasick pass per document (the
+        // same broadcast-kernel pattern as extraction): O(text length)
+        // regardless of how many ambiguous surfaces the dictionary holds.
+        // (A contains-predicate BroadcastNestedLoopJoin here would scan
+        // every document once PER ambiguous alias — with thousands of
+        // ambiguous surfaces that multiplies the corpus-scan cost by the
+        // alias count.) The ambiguous surface set is dictionary-sized by
+        // design, so collecting it for the automaton mirrors the alias
+        // broadcast.
+        import spark.implicits._
+        val ambAc = spark.sparkContext.broadcast(graft.extract.AhoCorasick(
+          ambiguous.select(col("alias")).distinct().as[String].collect().toSeq))
         val ambDocs = docsText
-          .join(broadcast(ambSurf), col("text").contains(col("alias")), "left_semi")
+          .select(col("doc_id"), col("text"))
+          .as[(String, String)]
+          .filter(r => ambAc.value.containsAnySubstring(r._2))
           .select("doc_id").distinct()
         docTermVectors(docsText.join(ambDocs, Seq("doc_id"), "left_semi"))
       } else (null, null)

@@ -12,8 +12,10 @@ import java.util.concurrent.atomic.{AtomicBoolean, AtomicLong}
   * 210-235), over the deterministic co-occurrence miner instead of an LLM.
   *
   * Each tick appends at most `batch` new non-adjacent CoOccursWith edges as
-  * an edges-table snapshot commit; ticks see the PREVIOUS tick's edges, so
-  * the anti-join naturally walks down the candidate ranking. The runner
+  * an edges-table DELTA snapshot ([[TableIO.commitDelta]]) — per-tick write
+  * volume is O(batch), independent of the edges-table size, with periodic
+  * compaction handled by the table layer. Ticks see the PREVIOUS tick's
+  * edges, so the anti-join naturally walks down the candidate ranking. The runner
   * stops itself when `maxRelationships` edges have been added or the candidate
   * pool is drained (a tick adds nothing).
   */
@@ -57,7 +59,9 @@ final class Enricher(kg: KgSession, mentionsCanon: DataFrame, conf: Enricher.Con
       .localCheckpoint() // evaluate once: counted AND committed
     val n = newE.count()
     if (n > 0) {
-      TableIO.commitSnapshot(edges.unionByName(newE), kg.edgesDir, "edges")
+      // delta-append: each tick writes O(batch) rows, not O(edges) — the
+      // reader unions the delta chain; TableIO compacts when it grows long
+      TableIO.commitDelta(newE, kg.edgesDir, "edges")
       addedCount.addAndGet(n)
     }
     n

@@ -134,59 +134,124 @@ object Ann {
       .select("a", "b", "cos5")
   }
 
-  /** IVF coarse quantizer training: deterministic Lloyd k-means.
-    * Init = farthest-first traversal (Gonzalez 1985): c₁ is the lowest
-    * vec_id, each next seed maximizes distance to its nearest chosen seed
-    * (id tie-break) — deterministic AND spread across the data, where a
-    * naive first-k init can drop all seeds into one cluster. Then `iters`
-    * Lloyd rounds of assign (argmin L2, id tie-break) + per-cell
-    * elementwise mean. The assign step is a broadcast of k×dim doubles
-    * against the corpus (no shuffle on the big side); the mean is a
-    * (cid, dim-position) aggregate. Returns (cid INT, c ARRAY<DOUBLE>) —
-    * persist it once and reuse (centroids are a model, not a per-query
-    * computation). */
-  def ivfTrain(emb: DataFrame, k: Int, iters: Int = 5): DataFrame = {
-    val spark = emb.sparkSession
+  // ------------------------------------------------------------------- IVF
+
+  /** Centroids are a MODEL (k×dim doubles), not data: collect them to the
+    * driver so assignment can be a map-only projection. */
+  private def collectCentroids(cents: DataFrame): Array[(Int, Array[Double])] =
+    cents.select(col("cid").cast("int"), col("c").cast("array<double>"))
+      .collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+
+  /** Map-only nearest-centroid id for a vector column: per-centroid L2² via
+    * the identity |x|²+|c|²−2x·c (three dot products in a fixed order — the
+    * same arithmetic an external engine reproduces exactly), argmin via
+    * `array_min` over (d2, cid) structs — lexicographic struct ordering IS
+    * the lowest-cid tie-break. The centroids ride in the plan as literals,
+    * so the corpus is never shuffled and never crossed with a k-row side. */
+  private def nearestCid(v: Column, cents: Array[(Int, Array[Double])]): Column = {
+    require(cents.nonEmpty, "no centroids")
+    val centsCol = array(cents.map { case (cid, c) =>
+      struct(lit(cid).as("cid"), array(c.map(x => lit(x)): _*).as("c"))
+    }: _*)
+    val scored = transform(centsCol, ct =>
+      struct(
+        (dot(v, v) + dot(ct.getField("c"), ct.getField("c"))
+          - lit(2.0) * dot(v, ct.getField("c"))).as("d2"),
+        ct.getField("cid").as("cid")))
+    array_min(scored).getField("cid")
+  }
+
+  /** Deterministic sample-based seed selection — ONE corpus job, job count
+    * independent of k. The corpus is ranked by md5(vec_id) (uniform,
+    * engine-reproducible hash order) and the top `sampleSize` vectors are
+    * collected to the driver (model-scale), where farthest-first traversal
+    * (Gonzalez 1985) picks k spread seeds: c₁ = lowest vec_id in the
+    * sample, each next seed maximizes the distance to its nearest chosen
+    * seed (lowest-vec_id tie-break). cid = rank of the seed's vec_id.
+    *
+    * Replaces farthest-first over the FULL corpus (k−1 sequential
+    * corpus-wide jobs, each shuffling every (vec_id, v) through a groupBy —
+    * at 10⁹ vectors that never finishes); on the sample the same traversal
+    * is a driver loop over sampleSize×k distance evaluations. */
+  def ivfSeeds(emb: DataFrame, k: Int, sampleSize: Int = 4096): DataFrame = {
+    require(k >= 1, "k must be positive")
     val e = emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
-      .localCheckpoint()
-    var seeds = e.orderBy(col("vec_id").asc).limit(1)
-      .select(col("vec_id"), col("v")).localCheckpoint()
-    for (_ <- 2 to k) {
-      val next = e.crossJoin(broadcast(seeds.select(col("v").as("c"))))
-        .withColumn("d2",
-          dot(col("v"), col("v")) + dot(col("c"), col("c"))
-            - lit(2.0) * dot(col("v"), col("c")))
-        .groupBy(col("vec_id")).agg(min(col("d2")).as("dmin"), first(col("v")).as("v"))
-        .orderBy(col("dmin").desc, col("vec_id").asc).limit(1)
-        .select(col("vec_id"), col("v"))
-      seeds = seeds.unionByName(next).localCheckpoint()
+    val sample = e
+      .orderBy(md5(col("vec_id").cast("string")).asc, col("vec_id").asc)
+      .limit(math.max(k, sampleSize))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    require(sample.nonEmpty, "ivfSeeds: empty corpus")
+    def d2(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s
     }
-    var cents = seeds
-      .select((row_number().over(Window.orderBy(col("vec_id"))) - 1).as("cid"), col("v").as("c"))
-      .localCheckpoint()
-    for (_ <- 1 to iters) {
-      val assigned = assignCells(e, cents)
-      cents = assigned
-        .select(col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
-        .groupBy("cid", "pos").agg(avg(col("x")).as("m"))
-        .groupBy("cid").agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
-        .select(col("cid"), expr("transform(pm, p -> p.m)").as("c"))
-        .localCheckpoint()
+    val kk = math.min(k, sample.length)
+    val chosen = Array.fill(kk)(-1)
+    chosen(0) = sample.indices.minBy(i => sample(i)._1)
+    val dmin = sample.map(s => d2(s._2, sample(chosen(0))._2))
+    var c = 1
+    while (c < kk) {
+      // argmax of dmin, lowest-vec_id tie-break
+      var best = -1
+      var i = 0
+      while (i < sample.length) {
+        if (best < 0 || dmin(i) > dmin(best) ||
+          (dmin(i) == dmin(best) && sample(i)._1 < sample(best)._1)) best = i
+        i += 1
+      }
+      chosen(c) = best
+      i = 0
+      while (i < sample.length) {
+        val d = d2(sample(i)._2, sample(best)._2)
+        if (d < dmin(i)) dmin(i) = d
+        i += 1
+      }
+      c += 1
     }
+    val spark = emb.sparkSession
+    val rows = chosen.map(sample(_)).sortBy(_._1).zipWithIndex
+      .map { case ((_, v), cid) => (cid, v.toSeq) }.toSeq
+    spark.createDataFrame(rows).toDF("cid", "c")
+  }
+
+  /** One Lloyd round over the full corpus: map-only nearest-centroid
+    * assignment + ONE aggregate whose shuffle carries k×dim partial sums
+    * per partition ([[graft.functions.VectorSum]], map-side combined) — no
+    * posexplode, no (cid, pos) corpus×dim shuffle. Empty cells drop (as in
+    * classic Lloyd). Returns (cid, n, c). */
+  def lloydRound(emb: DataFrame, cents: DataFrame): DataFrame = {
+    import graft.functions.VectorSum.vector_sum
+    val e = emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    e.withColumn("cid", nearestCid(col("v"), collectCentroids(cents)))
+      .groupBy("cid")
+      .agg(vector_sum(col("v")).as("s"), count(lit(1)).as("n"))
+      .select(col("cid"), col("n"),
+        transform(col("s"), x => x / col("n")).as("c"))
+  }
+
+  /** IVF coarse quantizer training: deterministic Lloyd k-means —
+    * [[ivfSeeds]] sample-based seeding (one corpus pass) + `iters` rounds of
+    * [[lloydRound]] (one corpus pass each; each round's k×dim output is
+    * collected as the next round's model). Total corpus passes = iters + 1,
+    * independent of k. Returns (cid INT, c ARRAY<DOUBLE>) — persist it once
+    * and reuse (centroids are a model, not a per-query computation). */
+  def ivfTrain(emb: DataFrame, k: Int, iters: Int = 5,
+      sampleSize: Int = 4096): DataFrame = {
+    var cents = ivfSeeds(emb, k, sampleSize)
+    for (_ <- 1 to iters)
+      cents = lloydRound(emb, cents).select("cid", "c").localCheckpoint()
     cents
   }
 
-  /** Nearest-centroid assignment: (vec_id, v, cid). L2² via the identity
-    * |x|²+|c|²−2x·c (three dot products in a fixed order — the same
-    * arithmetic an external engine reproduces exactly). */
+  /** Nearest-centroid assignment: (vec_id, v, cid) — the map-only
+    * [[nearestCid]] projection (the previous form shuffled every corpus row
+    * through a row_number window on vec_id). */
   def assignCells(e: DataFrame, cents: DataFrame): DataFrame =
-    e.crossJoin(broadcast(cents))
-      .withColumn("d2",
-        dot(col("v"), col("v")) + dot(col("c"), col("c"))
-          - lit(2.0) * dot(col("v"), col("c")))
-      .withColumn("rk", row_number().over(
-        Window.partitionBy(col("vec_id")).orderBy(col("d2").asc, col("cid").asc)))
-      .filter(col("rk") === 1)
+    e.withColumn("cid", nearestCid(col("v"), collectCentroids(cents)))
       .select(col("vec_id"), col("v"), col("cid"))
 
   /** IVF search: probe the `nprobe` cells nearest each query, exact-score

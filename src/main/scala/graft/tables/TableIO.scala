@@ -53,14 +53,54 @@ object TableIO {
 
   // ---------------------------------------------------------------- snapshot
 
-  /** Commit `df` as the next snapshot of table `dir`: data to snap-<n>/,
-    * per-partition row counters to _manifest/snap-<n>.json, then CURRENT is
-    * atomically repointed. Readers always see a complete snapshot.
-    * Concurrent commits to the same table dir are safe: the snapshot id is
-    * claimed with an exclusive createDirectory (fails on exists → next id),
-    * so two writers can never interleave inside one snap dir. */
+  /** Commit `df` as the next FULL snapshot of table `dir`: data to
+    * snap-<n>/, per-partition row counters to _manifest/snap-<n>.json, then
+    * CURRENT is repointed (monotonically). Readers always see a complete
+    * snapshot.
+    *
+    * Concurrency scope: concurrent commits produce DISTINCT snapshot ids
+    * and internally consistent snapshots (the id is claimed with an
+    * exclusive createDirectory — fails on exists → next id — so two writers
+    * never interleave inside one snap dir), and CURRENT only ever advances
+    * (a slow writer of snap-0 cannot repoint it backwards past a faster
+    * writer's snap-3). What this does NOT give is serialized
+    * read-union-commit transactions: two writers that each read CURRENT,
+    * union new rows and commit will each persist only their own addition —
+    * last id wins. Writers that append concurrently must use
+    * [[commitDelta]], whose snapshots chain instead of replacing. */
   def commitSnapshot(df: DataFrame, dir: String, stage: String): Unit = {
     val base = Paths.get(dir)
+    val n = writeSnap(df, base, stage, deltaOf = -1)
+    repointCurrent(base, n)
+  }
+
+  /** Commit `newRows` as a DELTA snapshot chained onto the current one: the
+    * write volume is O(newRows), independent of the table size — the
+    * enricher's per-tick append path (a full-table rewrite per tick would
+    * make tick cost O(edges)). Readers ([[readCurrent]]/[[readSnapshot]])
+    * union the chain transparently. When the chain would exceed `maxChain`
+    * deltas the commit COMPACTS instead: one full rewrite every maxChain
+    * appends keeps read fan-in bounded (amortized O(newRows · maxChain⁻¹ ·
+    * table) — the standard log-structured trade). Falls back to a full
+    * commit when the table has no snapshot yet. */
+  def commitDelta(newRows: DataFrame, dir: String, stage: String,
+      maxChain: Int = 64): Unit = {
+    val base = Paths.get(dir)
+    currentSnapshotId(dir) match {
+      case None => commitSnapshot(newRows, dir, stage)
+      case Some(cur) =>
+        val chain = snapshotChain(dir, cur)
+        if (chain.length >= maxChain)
+          commitSnapshot(
+            readCurrent(newRows.sparkSession, dir).unionByName(newRows), dir, stage)
+        else {
+          val n = writeSnap(newRows, base, stage, deltaOf = cur)
+          repointCurrent(base, n)
+        }
+    }
+  }
+
+  private def writeSnap(df: DataFrame, base: Path, stage: String, deltaOf: Int): Int = {
     Files.createDirectories(base)
     var n = nextSnapshotId(base)
     var snapDir = base.resolve(f"snap-$n%05d")
@@ -79,13 +119,19 @@ object TableIO {
     val perFile = parquetFileRows(snapDir)
     val node = mapper.createObjectNode()
     node.put("stage", stage); node.put("snapshot", n)
+    node.put("delta_of", deltaOf) // -1 = full snapshot
     node.put("total_rows", perFile.map(_._2).sum)
     val parts = node.putObject("partitions")
     perFile.foreach { case (f, r) => parts.put(f, r) }
     writeJsonAtomic(base.resolve("_manifest").resolve(f"snap-$n%05d.json"),
       mapper.writerWithDefaultPrettyPrinter().writeValueAsString(node))
-    writeJsonAtomic(base.resolve("CURRENT"), f"snap-$n%05d")
+    n
   }
+
+  /** Advance CURRENT to snapshot `n` unless it already points past it. */
+  private def repointCurrent(base: Path, n: Int): Unit =
+    if (currentSnapshotId(base.toString).forall(_ < n))
+      writeJsonAtomic(base.resolve("CURRENT"), f"snap-$n%05d")
 
   /** (fileName, rowCount) per parquet file in a directory, via footers. */
   def parquetFileRows(dir: Path): Array[(String, Long)] = {
@@ -121,15 +167,39 @@ object TableIO {
     if (Files.exists(cur)) Some(Files.readString(cur).trim) else None
   }
 
-  def readCurrent(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(
-      Paths.get(dir, currentSnapshot(dir).getOrElse(
-        throw new IllegalStateException(s"no CURRENT snapshot in $dir"))).toString)
+  def currentSnapshotId(dir: String): Option[Int] =
+    currentSnapshot(dir).map(_.stripPrefix("snap-").toInt)
 
-  /** Time travel: read a specific committed snapshot (snapshots are
-    * immutable; CURRENT only ever advances). */
+  /** The manifest's delta_of pointer; -1 = full snapshot (and legacy
+    * manifests without the field are full snapshots). */
+  private def deltaOf(dir: String, n: Int): Int = {
+    val p = Paths.get(dir, "_manifest", f"snap-$n%05d.json")
+    if (!Files.exists(p)) -1
+    else {
+      val node = mapper.readTree(p.toFile)
+      if (node.has("delta_of")) node.get("delta_of").asInt else -1
+    }
+  }
+
+  /** Snapshot ids making up the state at snapshot `n`, newest first: `n`,
+    * then the delta chain down to (and including) its base full snapshot. */
+  def snapshotChain(dir: String, n: Int): Seq[Int] = {
+    val buf = scala.collection.mutable.ArrayBuffer.empty[Int]
+    var cur = n
+    while (cur >= 0 && !buf.contains(cur)) { buf += cur; cur = deltaOf(dir, cur) }
+    buf.toSeq
+  }
+
+  def readCurrent(spark: SparkSession, dir: String): DataFrame =
+    readSnapshot(spark, dir, currentSnapshotId(dir).getOrElse(
+      throw new IllegalStateException(s"no CURRENT snapshot in $dir")))
+
+  /** Time travel: read the table state AT a committed snapshot — the
+    * snapshot's own data plus, for a delta snapshot, its chain of parents
+    * (snapshots are immutable; CURRENT only ever advances). */
   def readSnapshot(spark: SparkSession, dir: String, snapshot: Int): DataFrame =
-    spark.read.parquet(Paths.get(dir, f"snap-$snapshot%05d").toString)
+    spark.read.parquet(snapshotChain(dir, snapshot)
+      .map(s => Paths.get(dir, f"snap-$s%05d").toString): _*)
 
   def listSnapshots(dir: String): Seq[Int] = {
     val base = Paths.get(dir)
@@ -225,23 +295,24 @@ object TableIO {
       .parquet((0 until nBuckets).map(b => base.resolve("data").resolve(s"bucket=$b").toString): _*)
   }
 
-  /** Transient-vs-deterministic failure taxonomy for the bucket retry loop:
-    * IO and Spark task/stage failures are worth a retry; analysis errors,
-    * schema mismatches and memory exhaustion are not. */
+  /** Transient-vs-deterministic failure taxonomy for the bucket retry loop.
+    * WHITELIST of known-transient shapes: IO failures (includes fetch/
+    * shuffle/commit IO), timeouts, and Spark task/stage failures whose cause
+    * chain is itself transient-shaped. EVERYTHING ELSE — analysis errors,
+    * schema mismatches, memory exhaustion, arithmetic/cast/match bugs, and
+    * any UNKNOWN RuntimeException (SparkRuntimeException,
+    * NumberFormatException, DateTimeException...) — rethrows immediately: a
+    * deterministic failure retried with backoff just delays and obscures
+    * the real bug. */
   private[tables] def isRetryable(e: Throwable): Boolean = e match {
-    case _: org.apache.spark.sql.AnalysisException => false
-    case _: OutOfMemoryError => false
-    // deterministic JVM errors: a retry just re-runs the same bug
-    case _: NullPointerException | _: IllegalArgumentException |
-         _: IllegalStateException | _: ClassCastException |
-         _: UnsupportedOperationException | _: ArithmeticException |
-         _: IndexOutOfBoundsException => false
     case _: java.io.IOException => true
+    case _: java.io.UncheckedIOException => true
+    case _: java.util.concurrent.TimeoutException => true
+    case _: org.apache.spark.sql.AnalysisException => false
     case _: org.apache.spark.SparkException =>
       // task/stage-level failures are transient-shaped unless they wrap a
       // deterministic cause
       Option(e.getCause).forall(isRetryable)
-    case _: RuntimeException => true // wrapped transient faults
     case _ => false
   }
 

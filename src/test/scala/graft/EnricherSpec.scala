@@ -37,6 +37,11 @@ class EnricherSpec extends SparkSuite {
     assert(enr.added == 7) // cap reached exactly (batches 3+3+1)
     assert(kg.edges.count() == baseEdges + 7)
     assert(kg.edgeSnapshots().size == baseSnaps + 3) // one commit per tick
+    // delta-append: each tick's snapshot dir holds ONLY that tick's rows —
+    // per-tick write volume is O(batch), independent of the edges-table size
+    val tickRows = kg.edgeSnapshots().takeRight(3).map(s =>
+      graft.tables.TableIO.parquetRowCount(f"${kg.edgesDir}/snap-$s%05d"))
+    assert(tickRows.sorted == Seq(1L, 3L, 3L), tickRows.toString)
     // every appended edge is a CoOccursWith between previously non-adjacent
     val newOnes = kg.edges.filter(col("pred_norm") === "cooccurswith")
     assert(newOnes.count() == 7)

@@ -123,6 +123,23 @@ class KgQueriesSpec extends SparkSuite {
     assert(KgQueries.reachableFrom(nodes, e, "Nope", 3).count() == 0)
   }
 
+  test("reachableFrom: maxNodes binds MID-BFS — expansion stops at the budget, (hops,name) winners") {
+    // star + tail: S→{A,B,C}, A→Z. The cap must bind DURING hop-1 expansion
+    // (the reference's bounded frontier, graph.go:66-70), so Z is never
+    // expanded into even though maxHops would allow it.
+    val n = Seq((1L, "S"), (2L, "A"), (3L, "B"), (4L, "C"), (5L, "Z"))
+      .toDF("node_id", "name")
+    val e = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 5L)).toDF("src_id", "dst_id")
+    val got = KgQueries.reachableFrom(n, e, "S", maxHops = 3, maxNodes = 3)
+      .select("name", "hops").as[(String, Int)].collect().toSet
+    assert(got == Set(("S", 0), ("A", 1), ("B", 1)), got.toString)
+    // the capped result is exactly the (hops, name)-prefix of the uncapped one
+    val full = KgQueries.reachableFrom(n, e, "S", maxHops = 3)
+      .orderBy(col("hops"), col("name"))
+      .select("name", "hops").as[(String, Int)].collect().toSeq
+    assert(full.take(3).toSet == got)
+  }
+
   test("Main arg parsing and conf precedence") {
     val m = graft.run.Main.parseArgs(Array("--workDir=/tmp/x", "--nDocs=123", "--enrich"))
     val c = graft.run.Main.confFrom(m)

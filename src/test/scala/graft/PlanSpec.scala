@@ -72,6 +72,50 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("hashpartitioning(doc_id"), "corpus rows must never shuffle by doc")
   }
 
+  test("link plan: ambiguity probe is a broadcast automaton filter, NOT a contains-BNLJ corpus scan") {
+    val raw = Seq(RawTriple("d1", 0, "X", "P", "B", true, true, "", 1.0)).toDS().toDF()
+    // 'X' maps to two canonicals → the ambiguity slow path is IN this plan
+    val aliases = Seq(("X", "X1", 0.6), ("X", "X2", 0.4), ("B", "B", 1.0))
+      .toDF("alias", "canonical", "prior")
+    val docsText = Seq(("d1", "X P B"), ("d2", "nothing here")).toDF("doc_id", "text")
+    val linked = EntityLink.link(spark, raw, aliases, docsText)
+    val p = plan(linked)
+    // one O(text) automaton pass per doc, not one corpus scan per ambiguous
+    // alias: no nested-loop join, no Contains predicate anywhere in the plan
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+    assert(!p.contains("Contains(text"), p.take(3000))
+    assert(linked.count() == 1) // the ambiguous surface still resolves
+  }
+
+  test("IVF: assignment is map-only (zero Exchange); Lloyd mean is one map-side-combined aggregate, no posexplode") {
+    val emb = (0L until 100L).map(i => (i, Array.fill(8)(0.01f * (i % 10 + 1) * (1 + i / 50))))
+      .toDF("vec_id", "embedding")
+    val seeds = Ann.ivfSeeds(emb, k = 4)
+    val asg = Ann.assignCells(
+      emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v")), seeds)
+    val pa = plan(asg)
+    assert(!pa.contains("Exchange"), "assignment must not shuffle the corpus:\n" + pa.take(3000))
+    assert(!pa.contains("Window"), pa.take(3000))
+    val pl = plan(Ann.lloydRound(emb, seeds))
+    assert(countOccurrences(pl, "ObjectHashAggregate") >= 2, pl.take(3000)) // partial+final
+    assert(!pl.contains("Generate"), "no posexplode of the corpus:\n" + pl.take(3000))
+    assert(countOccurrences(pl, "Exchange") == 1,
+      "exactly one k-row exchange:\n" + pl.take(3000))
+  }
+
+  test("IVF training runs a constant number of jobs — independent of k (no per-seed corpus jobs)") {
+    val emb = (0L until 120L).map(i => (i, Array.fill(8)(0.02f * (i % 12))))
+      .toDF("vec_id", "embedding")
+    def jobsFor(group: String)(f: => Unit): Int = {
+      spark.sparkContext.setJobGroup(group, group)
+      try f finally spark.sparkContext.clearJobGroup()
+      spark.sparkContext.statusTracker.getJobIdsForGroup(group).length
+    }
+    val j4 = jobsFor("ivf-k4")(Ann.ivfTrain(emb, k = 4, iters = 2).collect())
+    val j8 = jobsFor("ivf-k8")(Ann.ivfTrain(emb, k = 8, iters = 2).collect())
+    assert(j4 == j8, s"job count must not grow with k: k=4→$j4 jobs, k=8→$j8 jobs")
+  }
+
   test("non-adjacent pairs: nested-loop sides are hash-sampled (TakeOrdered), never full node sets") {
     val nodes = (1L to 500L).map(i => (i, f"node-$i%04d")).toDF("node_id", "name")
     val edges = Seq((1L, 2L, "p")).toDF("src_id", "dst_id", "pred")

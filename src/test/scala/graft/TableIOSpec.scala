@@ -100,10 +100,58 @@ class TableIOSpec extends SparkSuite {
     val flaky = new java.util.concurrent.atomic.AtomicInteger(0)
     val out = TableIO.runBucketed(spark, "s", in, stage, 2, 1,
       maxRetries = 2, backoffMs = 10L) { df =>
-      if (flaky.incrementAndGet() <= 2) throw new RuntimeException("transient")
+      if (flaky.incrementAndGet() <= 2) throw new java.io.IOException("transient")
       df.withColumn("v2", col("v") * 3)
     }
     assert(out.count() == 40)
     assert(flaky.get() >= 3) // at least two failures were retried through
+  }
+
+  test("deterministic failures rethrow immediately — no retry, no backoff delay (X5 taxonomy)") {
+    val in = tmpDir("in4")
+    val stage = tmpDir("stage5")
+    TableIO.bucketize(
+      (0 until 20).map(i => (f"doc-$i%04d", i)).toDF("doc_id", "v"), "doc_id", 1, in)
+    val attempts = new java.util.concurrent.atomic.AtomicInteger(0)
+    intercept[Exception] {
+      TableIO.runBucketed(spark, "s", in, stage, 1, 1,
+        maxRetries = 5, backoffMs = 60000L) { _ =>
+        attempts.incrementAndGet()
+        // an unknown RuntimeException is a bug, not weather: the whitelist
+        // taxonomy must NOT burn 5 × 60s backoffs re-running it
+        throw new NumberFormatException("deterministic bug")
+      }
+    }
+    assert(attempts.get() == 1, s"deterministic failure was retried ${attempts.get()} times")
+  }
+
+  test("delta commits: tick write volume is O(batch); readers union the chain; compaction bounds it") {
+    val dir = tmpDir("delta")
+    TableIO.commitSnapshot((1 to 100).map(i => (i.toLong, "base")).toDF("id", "src"), dir, "t")
+    TableIO.commitDelta(Seq((101L, "d1")).toDF("id", "src"), dir, "t")
+    TableIO.commitDelta(Seq((102L, "d2"), (103L, "d2")).toDF("id", "src"), dir, "t")
+    assert(TableIO.readCurrent(spark, dir).count() == 103)
+    // each delta snapshot dir holds ONLY its tick's rows
+    assert(TableIO.parquetRowCount(s"$dir/snap-00001") == 1)
+    assert(TableIO.parquetRowCount(s"$dir/snap-00002") == 2)
+    // time travel resolves the chain at each snapshot
+    assert(TableIO.readSnapshot(spark, dir, 0).count() == 100)
+    assert(TableIO.readSnapshot(spark, dir, 1).count() == 101)
+    assert(TableIO.snapshotChain(dir, 2) == Seq(2, 1, 0))
+    // a chain at maxChain compacts: the next commit is a full rewrite
+    TableIO.commitDelta(Seq((104L, "d3")).toDF("id", "src"), dir, "t", maxChain = 3)
+    assert(TableIO.readCurrent(spark, dir).count() == 104)
+    assert(TableIO.parquetRowCount(s"$dir/snap-00003") == 104)
+    assert(TableIO.snapshotChain(dir, 3) == Seq(3))
+  }
+
+  test("CURRENT only advances: a commit cannot repoint it backwards") {
+    val dir = tmpDir("mono")
+    TableIO.commitSnapshot(Seq(1).toDF("x"), dir, "t")
+    // simulate a faster writer having already pointed CURRENT ahead
+    Files.writeString(Paths.get(dir, "CURRENT"), "snap-00099")
+    TableIO.commitSnapshot(Seq(1, 2).toDF("x"), dir, "t") // claims snap-00001
+    assert(TableIO.currentSnapshot(dir).contains("snap-00099"),
+      "slow writer must not repoint CURRENT backwards")
   }
 }
