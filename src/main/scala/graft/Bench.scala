@@ -314,16 +314,21 @@ object Bench {
     // wall-clock budget for the whole retry loop: inside a long throttled
     // window, retries are better abandoned than timing out the caller —
     // the JSON then carries clean_pair_this_run=false + best observed
-    val budgetMs = sys.env.get("GRAFT_BENCH_BUDGET_MS").map(_.toLong).getOrElse(1500000L)
+    val budgetMs = sys.env.get("GRAFT_BENCH_BUDGET_MS").map(_.toLong).getOrElse(2100000L)
     val loopT0 = System.currentTimeMillis()
     val runsLo = scala.collection.mutable.ArrayBuffer.empty[RunResult]
     val runsHi = scala.collection.mutable.ArrayBuffer.empty[RunResult]
     def globalMinCpu: Double = (runsLo ++ runsHi).map(_.cpuS).min
-    // clean-run CPU ceiling per level: 1.35× the global min at ≤8 threads;
-    // 2.2× above 8 (covers the measured 1.5-1.8× memory-contention
-    // inflation of CLEAN high-thread runs, still far below the ~9×
-    // throttled-window inflation)
-    def cleanMult(level: Int): Double = if (level > 8) 2.2 else 1.35
+    // Clean-run CPU ceiling per level, anchored on the global min (in
+    // practice the lowest level's clean cost). CLEAN executor-CPU inflates
+    // with thread count on this single socket — measured ~1.35× at 8 vs 2
+    // threads (five consecutive 8-thread runs clustered at 284-305 CPU·s
+    // against 211 at 2 threads, run_s≈cpu_s and tiny GC, i.e. contention,
+    // not a throttle window) and 1.5-1.8× at 16 vs 4 — so the multiplier
+    // is a level schedule with headroom above each measured band, still
+    // far below the 8-14× inflation of real throttle windows.
+    def cleanMult(level: Int): Double =
+      if (level > 8) 2.2 else if (level > 4) 1.6 else 1.35
     def isClean(r: RunResult, level: Int): Boolean =
       r.cpuS <= cleanMult(level) * globalMinCpu
     def cleanOf(rs: Seq[RunResult], level: Int): Option[RunResult] = {
@@ -424,12 +429,16 @@ object Bench {
           .findFirstMatchIn(l)
         val lvl = """"lvl":"([0-9,]+)"""".r.findFirstMatchIn(l)
           .map(_.group(1)).getOrElse("4,16") // pre-levels history rows ran 4,16
-        m.map(x => (x.group(1).toDouble, x.group(2).toDouble, x.group(3).toLong, lvl))
+        // rows that record a non-clean pair must not pollute best-observed
+        // (a throttled lo-level wall inflates eff); rows predating the flag
+        // were selected under the old clean filter — keep them
+        val clean = !l.contains(""""clean_pair":false""")
+        m.map(x => (x.group(1).toDouble, x.group(2).toDouble, x.group(3).toLong, lvl, clean))
       }
-      // same corpus size AND levels only, and eff > 1 is physically
-      // impossible for this pipeline — it means the N-level run hit a
-      // host-throttling window; exclude such artifacts
-      .filter(r => r._3 == nDocs && r._2 <= 1.0 && r._4 == s"$loLvl,$hiLvl")
+      // same corpus size AND levels only, clean pairs only, and eff > 1 is
+      // physically impossible for this pipeline — it means the N-level run
+      // hit a host-throttling window; exclude such artifacts
+      .filter(r => r._3 == nDocs && r._2 <= 1.0 && r._4 == s"$loLvl,$hiLvl" && r._5)
       .map(r => (r._1, r._2)).toSeq
     val bestEff = if (bestLine.isEmpty) eff else bestLine.map(_._2).max
     val bestT16 = if (bestLine.isEmpty) t4N else bestLine.map(_._1).min
@@ -461,11 +470,13 @@ object Bench {
          |
          |Run selection: the host throttles in minute-scale windows —
          |executor CPU time for this deterministic, fixed-size job inflates
-         |up to ~9× inside one (see ledger). A run is CLEAN iff its CPU time
-         |is within a level-dependent multiple of the minimum observed across
-         |all runs: 1.35× at ≤8 threads (clean CPU is level-independent
-         |there), 2.2× above 8 threads (clean high-thread runs legitimately
-         |carry 1.5-1.8× memory-contention inflation on this single socket).
+         |8-14× inside one (see ledger). A run is CLEAN iff its CPU time is
+         |within a level-dependent multiple of the minimum observed across
+         |all runs: 1.35× at ≤4 threads, 1.6× at 5-8, 2.2× above 8 — clean
+         |runs legitimately carry memory-contention CPU inflation that grows
+         |with thread count on this single socket (measured ~1.35× at 8 vs
+         |2 threads, 1.5-1.8× at 16 vs 4), still far below throttle-window
+         |inflation.
          |The reported pair is the fastest clean run per level when one
          |exists; a level with zero clean runs falls back to its lowest-CPU
          |run and is flagged here. **This invocation's reported pair:

@@ -131,10 +131,12 @@ object Fixtures {
     // IVF coarse quantizer: seeds (the sample-based farthest-first model —
     // persisted so q_ivf_train can replay one Lloyd round from a FIXED seed
     // set in DuckDB, independently verifying the training kernel) and the
-    // fully trained centroids the q_ann_ivf query AND its oracle both read
+    // fully trained centroids the q_ann_ivf query AND its oracle both read;
+    // training continues FROM the just-persisted seeds (one seeding pass,
+    // and the two fixtures provably share one seed model)
     graft.sim.Ann.ivfSeeds(embT, k = 16)
       .coalesce(1).write.mode("overwrite").parquet(s"$r/ivf_seeds")
-    graft.sim.Ann.ivfTrain(embT, k = 16, iters = 5)
+    graft.sim.Ann.ivfTrainFrom(embT, spark.read.parquet(s"$r/ivf_seeds"), iters = 5)
       .coalesce(1).write.mode("overwrite").parquet(s"$r/ivf_centroids")
 
     Files.writeString(ready, "ok")

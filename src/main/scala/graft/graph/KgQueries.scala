@@ -160,7 +160,7 @@ object KgQueries {
       .localCheckpoint()
     val named = nodes.select(col("node_id"), col("name"))
     var visited = named.filter(col("name") === seedName)
-      .withColumn("hops", lit(0))
+      .select(col("node_id"), lit(0).as("hops"))
       .localCheckpoint()
     var visitedCount = visited.count()
     var frontier = visited
@@ -168,28 +168,33 @@ object KgQueries {
     // the maxNodes budget binds INSIDE the loop, per hop — the reference
     // caps the frontier during expansion (graph.go:66-70), so on a dense
     // graph the intermediate frontier never outgrows the node cap; winners
-    // per hop are deterministic by (hops, name)
+    // per hop are deterministic by (hops, name, node_id). The frontier
+    // itself carries only ids: an edge endpoint missing from the nodes
+    // table is still traversed THROUGH (it is only absent from the final
+    // named output, as before the in-loop cap existed) — its name joins
+    // null and sorts last among a hop's cap winners.
     while (hop < maxHops && visitedCount < maxNodes && !frontier.isEmpty) {
       hop += 1
       val candidates = frontier.join(adj, frontier("node_id") === adj("src_id"))
         .select(col("dst_id").as("node_id"), lit(hop).as("hops"))
         .distinct()
         .join(visited.select("node_id"), Seq("node_id"), "left_anti")
-        .join(named, Seq("node_id"))
         .localCheckpoint()
       val nCand = candidates.count()
       val budget = maxNodes.toLong - visitedCount
       val next =
         if (nCand > budget)
-          candidates.orderBy(col("hops").asc, col("name").asc)
-            .limit(budget.toInt).localCheckpoint()
+          candidates.join(named, Seq("node_id"), "left")
+            .orderBy(col("hops").asc, col("name").asc_nulls_last,
+              col("node_id").asc)
+            .limit(budget.toInt).select("node_id", "hops").localCheckpoint()
         else candidates
       visitedCount += math.min(nCand, budget)
-      visited = visited.unionByName(next.select(visited.columns.map(col): _*))
-        .localCheckpoint()
+      visited = visited.unionByName(next).localCheckpoint()
       frontier = next
     }
     visited
+      .join(named, Seq("node_id"))
       .orderBy(col("hops").asc, col("name").asc).limit(maxNodes)
       .select("node_id", "name", "hops")
   }

@@ -79,10 +79,11 @@ object EntityLink {
         import spark.implicits._
         val ambAc = spark.sparkContext.broadcast(graft.extract.AhoCorasick(
           ambiguous.select(col("alias")).distinct().as[String].collect().toSeq))
+        // null text = no match (the SQL Contains semantics this replaced)
         val ambDocs = docsText
           .select(col("doc_id"), col("text"))
           .as[(String, String)]
-          .filter(r => ambAc.value.containsAnySubstring(r._2))
+          .filter(r => r._2 != null && ambAc.value.containsAnySubstring(r._2))
           .select("doc_id").distinct()
         docTermVectors(docsText.join(ambDocs, Seq("doc_id"), "left_semi"))
       } else (null, null)

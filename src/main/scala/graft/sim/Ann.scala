@@ -145,23 +145,39 @@ object Ann {
       .sortBy(_._1)
 
   /** Map-only nearest-centroid id for a vector column: per-centroid L2² via
-    * the identity |x|²+|c|²−2x·c (three dot products in a fixed order — the
-    * same arithmetic an external engine reproduces exactly), argmin via
-    * `array_min` over (d2, cid) structs — lexicographic struct ordering IS
-    * the lowest-cid tie-break. The centroids ride in the plan as literals,
-    * so the corpus is never shuffled and never crossed with a k-row side. */
-  private def nearestCid(v: Column, cents: Array[(Int, Array[Double])]): Column = {
+    * the identity |x|²+|c|²−2x·c (dot products in a fixed left-to-right
+    * order — the same arithmetic an external engine reproduces exactly),
+    * argmin via `array_min` over (d2, cid) structs — lexicographic struct
+    * ordering IS the lowest-cid tie-break. The centroids ride in the plan
+    * as literals, so the corpus is never shuffled and never crossed with a
+    * k-row side. Constant subterms are hoisted: |v|² is evaluated once per
+    * row (not once per centroid — `v` here must be the dedicated `vv`
+    * column's source) and |c|² is a driver-computed literal (left-to-right
+    * summation, bit-identical to the Catalyst fold, so FP parity with the
+    * SQL oracle holds). */
+  private def nearestCid(v: Column, vv: Column, cents: Array[(Int, Array[Double])]): Column = {
     require(cents.nonEmpty, "no centroids")
+    def normSq(c: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < c.length) { s += c(i) * c(i); i += 1 }
+      s
+    }
     val centsCol = array(cents.map { case (cid, c) =>
-      struct(lit(cid).as("cid"), array(c.map(x => lit(x)): _*).as("c"))
+      struct(lit(cid).as("cid"), lit(normSq(c)).as("cc"),
+        array(c.map(x => lit(x)): _*).as("c"))
     }: _*)
     val scored = transform(centsCol, ct =>
       struct(
-        (dot(v, v) + dot(ct.getField("c"), ct.getField("c"))
-          - lit(2.0) * dot(v, ct.getField("c"))).as("d2"),
+        (vv + ct.getField("cc") - lit(2.0) * dot(v, ct.getField("c"))).as("d2"),
         ct.getField("cid").as("cid")))
     array_min(scored).getField("cid")
   }
+
+  /** Adds the per-row |v|² column then the nearest-centroid id. */
+  private def withCid(e: DataFrame, cents: Array[(Int, Array[Double])]): DataFrame =
+    e.withColumn("vv", dot(col("v"), col("v")))
+      .withColumn("cid", nearestCid(col("v"), col("vv"), cents))
+      .drop("vv")
 
   /** Deterministic sample-based seed selection — ONE corpus job, job count
     * independent of k. The corpus is ranked by md5(vec_id) (uniform,
@@ -226,7 +242,7 @@ object Ann {
   def lloydRound(emb: DataFrame, cents: DataFrame): DataFrame = {
     import graft.functions.VectorSum.vector_sum
     val e = emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
-    e.withColumn("cid", nearestCid(col("v"), collectCentroids(cents)))
+    withCid(e, collectCentroids(cents))
       .groupBy("cid")
       .agg(vector_sum(col("v")).as("s"), count(lit(1)).as("n"))
       .select(col("cid"), col("n"),
@@ -240,8 +256,15 @@ object Ann {
     * independent of k. Returns (cid INT, c ARRAY<DOUBLE>) — persist it once
     * and reuse (centroids are a model, not a per-query computation). */
   def ivfTrain(emb: DataFrame, k: Int, iters: Int = 5,
-      sampleSize: Int = 4096): DataFrame = {
-    var cents = ivfSeeds(emb, k, sampleSize)
+      sampleSize: Int = 4096): DataFrame =
+    ivfTrainFrom(emb, ivfSeeds(emb, k, sampleSize), iters)
+
+  /** Lloyd training from an explicit seed model — used when the seeds are
+    * persisted separately (fixtures, warm restarts), so seeding never runs
+    * twice and the persisted seeds are BY CONSTRUCTION the ones the
+    * centroids descend from. */
+  def ivfTrainFrom(emb: DataFrame, seeds: DataFrame, iters: Int): DataFrame = {
+    var cents = seeds
     for (_ <- 1 to iters)
       cents = lloydRound(emb, cents).select("cid", "c").localCheckpoint()
     cents
@@ -251,7 +274,7 @@ object Ann {
     * [[nearestCid]] projection (the previous form shuffled every corpus row
     * through a row_number window on vec_id). */
   def assignCells(e: DataFrame, cents: DataFrame): DataFrame =
-    e.withColumn("cid", nearestCid(col("v"), collectCentroids(cents)))
+    withCid(e, collectCentroids(cents))
       .select(col("vec_id"), col("v"), col("cid"))
 
   /** IVF search: probe the `nprobe` cells nearest each query, exact-score

@@ -62,12 +62,16 @@ object TableIO {
     * and internally consistent snapshots (the id is claimed with an
     * exclusive createDirectory — fails on exists → next id — so two writers
     * never interleave inside one snap dir), and CURRENT only ever advances
-    * (a slow writer of snap-0 cannot repoint it backwards past a faster
-    * writer's snap-3). What this does NOT give is serialized
-    * read-union-commit transactions: two writers that each read CURRENT,
-    * union new rows and commit will each persist only their own addition —
-    * last id wins. Writers that append concurrently must use
-    * [[commitDelta]], whose snapshots chain instead of replacing. */
+    * within a JVM (repointing is serialized in-process and checked against
+    * the pointed id, so a slow writer of snap-0 cannot repoint it backwards
+    * past a faster writer's snap-3; cross-PROCESS writers to one table dir
+    * are out of scope — the pipeline has exactly one driver). What this
+    * does NOT give is serialized read-union-commit transactions: two
+    * writers that each read CURRENT, union new rows and commit will each
+    * persist only their own addition — last id wins. The same applies to
+    * [[commitDelta]]: delta chains assume a SINGLE appender (the enricher
+    * ticker); two concurrent delta writers would chain onto the same
+    * parent and the lower id would drop out of the read chain. */
   def commitSnapshot(df: DataFrame, dir: String, stage: String): Unit = {
     val base = Paths.get(dir)
     val n = writeSnap(df, base, stage, deltaOf = -1)
@@ -78,11 +82,13 @@ object TableIO {
     * write volume is O(newRows), independent of the table size — the
     * enricher's per-tick append path (a full-table rewrite per tick would
     * make tick cost O(edges)). Readers ([[readCurrent]]/[[readSnapshot]])
-    * union the chain transparently. When the chain would exceed `maxChain`
-    * deltas the commit COMPACTS instead: one full rewrite every maxChain
-    * appends keeps read fan-in bounded (amortized O(newRows · maxChain⁻¹ ·
-    * table) — the standard log-structured trade). Falls back to a full
-    * commit when the table has no snapshot yet. */
+    * union the chain transparently. When the chain (base + deltas) has
+    * reached `maxChain` entries the commit COMPACTS instead: one full
+    * rewrite per ~maxChain appends keeps read fan-in bounded (amortized
+    * O(newRows · maxChain⁻¹ · table) — the standard log-structured trade).
+    * Falls back to a full commit when the table has no snapshot yet.
+    * Single-appender discipline (see [[commitSnapshot]] concurrency
+    * scope). */
   def commitDelta(newRows: DataFrame, dir: String, stage: String,
       maxChain: Int = 64): Unit = {
     val base = Paths.get(dir)
@@ -128,10 +134,16 @@ object TableIO {
     n
   }
 
-  /** Advance CURRENT to snapshot `n` unless it already points past it. */
-  private def repointCurrent(base: Path, n: Int): Unit =
+  /** Advance CURRENT to snapshot `n` unless it already points past it.
+    * The read-check-write is serialized in-process (one lock for all
+    * tables — repointing is microseconds), making the monotonic guarantee
+    * hold for concurrent committers within a JVM; cross-process writers
+    * are out of scope (one driver per table dir). */
+  private val repointLock = new Object
+  private def repointCurrent(base: Path, n: Int): Unit = repointLock.synchronized {
     if (currentSnapshotId(base.toString).forall(_ < n))
       writeJsonAtomic(base.resolve("CURRENT"), f"snap-$n%05d")
+  }
 
   /** (fileName, rowCount) per parquet file in a directory, via footers. */
   def parquetFileRows(dir: Path): Array[(String, Long)] = {

@@ -140,6 +140,16 @@ class KgQueriesSpec extends SparkSuite {
     assert(full.take(3).toSet == got)
   }
 
+  test("reachableFrom traverses THROUGH edge endpoints missing from the nodes table") {
+    // 1→7→5 with node 7 dangling (edges snapshot ahead of nodes): 7 is
+    // absent from the output but the frontier must still pass through it
+    val n = Seq((1L, "S"), (5L, "Z")).toDF("node_id", "name")
+    val e = Seq((1L, 7L), (7L, 5L)).toDF("src_id", "dst_id")
+    val got = KgQueries.reachableFrom(n, e, "S", maxHops = 2)
+      .select("name", "hops").as[(String, Int)].collect().toSet
+    assert(got == Set(("S", 0), ("Z", 2)), got.toString)
+  }
+
   test("Main arg parsing and conf precedence") {
     val m = graft.run.Main.parseArgs(Array("--workDir=/tmp/x", "--nDocs=123", "--enrich"))
     val c = graft.run.Main.confFrom(m)
