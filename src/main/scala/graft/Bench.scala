@@ -243,15 +243,18 @@ object Bench {
     levelsFromEnv() // validate before the expensive corpus build
 
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    // 10M docs at sf0.1: large enough that the fixed-cost tail (session,
-    // snapshot commits, dictionary-scale stages) is amortized and the
-    // measurement is about the corpus-scale job — the Amdahl trap of small
-    // problem sizes was round 1's main scaling-efficiency killer
+    // 25M docs at sf0.1: large enough that the fixed-cost tail (session,
+    // snapshot commits, dictionary-scale stages — ~4-5 s regardless of
+    // corpus size) is amortized and the measurement is about the
+    // corpus-scale job. The Amdahl trap of small problem sizes was round
+    // 1's main scaling-efficiency killer (1M → 10M fixed it; at 10M the
+    // tail still costs ~5 points of N→4N efficiency at the upper level,
+    // which no real deployment of an hours-long corpus job would see).
     val nDocs = sys.env.get("GRAFT_BENCH_DOCS").map(_.toLong).getOrElse {
       Paths.get(sfDir).getFileName.toString match {
         case "sf0.001" => 20000L
         case "sf0.01"  => 200000L
-        case _         => 10000000L
+        case _         => 25000000L
       }
     }
     val docsDir = s"$root/corpus-$nDocs/docs"

@@ -46,15 +46,26 @@ object EntityLink {
       .filter(Validity.validPred(col("pred")))
       .withColumn("triple_id", xxhash64(col("doc_id"), col("span_idx")))
 
-    // the alias table is dictionary-sized (broadcast side by design): split
-    // unique vs ambiguous with two tiny aggregate/join jobs — no driver-side
-    // collect of the table
-    val flagged = aliases.select("alias", "canonical", "prior")
-      .join(aliases.groupBy("alias").agg(countDistinct("canonical").as("n_cands")),
-        Seq("alias"))
-    val uniqueAliases = flagged.filter(col("n_cands") === 1).drop("n_cands")
-    val ambiguous = flagged.filter(col("n_cands") > 1).drop("n_cands")
-      .localCheckpoint() // tiny; evaluated once for the emptiness probe + joins
+    // the alias table is dictionary-sized (broadcast side by design). ONE
+    // tiny aggregate job decides whether ambiguity exists at all; the
+    // common no-ambiguity case (exact-match dictionaries) short-circuits
+    // to "every alias is unique" without building the flagged join or the
+    // slow-path plan.
+    import spark.implicits._
+    val nAmbiguous = aliases.groupBy("alias")
+      .agg(countDistinct("canonical").as("n_cands"))
+      .filter(col("n_cands") > 1).count()
+    val (uniqueAliases, ambiguous) =
+      if (nAmbiguous == 0)
+        (aliases.select("alias", "canonical", "prior"), null: org.apache.spark.sql.DataFrame)
+      else {
+        val flagged = aliases.select("alias", "canonical", "prior")
+          .join(aliases.groupBy("alias").agg(countDistinct("canonical").as("n_cands")),
+            Seq("alias"))
+        (flagged.filter(col("n_cands") === 1).drop("n_cands"),
+          flagged.filter(col("n_cands") > 1).drop("n_cands")
+            .localCheckpoint()) // tiny; evaluated once for the joins
+      }
 
     // the TF-IDF context corpus is (a) only built when ambiguity exists at
     // all, and (b) restricted to docs that actually HOST an ambiguous
@@ -62,7 +73,7 @@ object EntityLink {
     // of it (IDF is defined within that ambiguity-context corpus). The
     // ambiguous surface set is dictionary-sized → broadcast semi-join.
     val (docVec, docNorm) =
-      if (!ambiguous.isEmpty) {
+      if (ambiguous != null) {
         // docs POSSIBLY hosting an ambiguous mention, by substring test
         // against the raw text — a cheap superset of the true hosting set
         // that depends only on the docsText scan (deriving it from the
@@ -76,7 +87,6 @@ object EntityLink {
         // alias count.) The ambiguous surface set is dictionary-sized by
         // design, so collecting it for the automaton mirrors the alias
         // broadcast.
-        import spark.implicits._
         val ambAc = spark.sparkContext.broadcast(graft.extract.AhoCorasick(
           ambiguous.select(col("alias")).distinct().as[String].collect().toSeq))
         // null text = no match (the SQL Contains semantics this replaced)

@@ -122,19 +122,24 @@ object Pipeline {
     val pre = phase("extractLinkAgg")(
       Materialize.preAggregate(linked).localCheckpoint())
 
-    // stage 3: canonicalize + materialize on the pre-aggregate — edges
-    // commit first, downstream reads the MATERIALIZED table
+    // stage 3: canonicalize + materialize on the pre-aggregate. Each table
+    // is localCheckpoint'ed once (these are dictionary-scale frames), the
+    // snapshot commit writes FROM the checkpoint, and downstream stages
+    // reuse the same checkpointed frame — identical rows to a read-back of
+    // the committed snapshot, without re-scanning what was just written
+    // (two read-back jobs per run saved; resume still reads the snapshots).
     val resolve = phase("canonicalize")(Materialize.canonicalize(spark, pre, aliases))
-    phase("edgesCommit")(TableIO.commitSnapshot(
-      Materialize.buildEdgesAgg(pre, resolve), edgesDir(c), "edges"))
-    val edgesT = TableIO.readCurrent(spark, edgesDir(c))
-    phase("nodesCommit")(TableIO.commitSnapshot(
-      Materialize.buildNodes(resolve, edgesT), nodesDir(c), "nodes"))
-    val nodesT = TableIO.readCurrent(spark, nodesDir(c))
+    val edgesT = phase("edgesCommit") {
+      val t = Materialize.buildEdgesAgg(pre, resolve).localCheckpoint()
+      TableIO.commitSnapshot(t, edgesDir(c), "edges"); t
+    }
+    val nodesT = phase("nodesCommit") {
+      val t = Materialize.buildNodes(resolve, edgesT).localCheckpoint()
+      TableIO.commitSnapshot(t, nodesDir(c), "nodes"); t
+    }
     val tv = Materialize.triplesView(Materialize.Graph(nodesT, edgesT))
     phase("triplesCommit")(TableIO.commitSnapshot(tv, triplesDir(c), "triples_view"))
 
-    Out(spark.read.parquet(docsDir(c)),
-      nodesT, edgesT, TableIO.readCurrent(spark, triplesDir(c)))
+    Out(spark.read.parquet(docsDir(c)), nodesT, edgesT, tv)
   }
 }

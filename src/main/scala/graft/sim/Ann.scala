@@ -74,23 +74,28 @@ object Ann {
       nTables: Int = 8, bitsPerTable: Int = 16, maxBucket: Int = 256): DataFrame = {
     val planes = hyperplanes(dim, nTables * bitsPerTable)
     val e0 = emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
-    // (vec_id, v, table, bucket) — one row per table
     val tabBuckets = (0 until nTables).map { t =>
       val tp = planes.slice(t * bitsPerTable, (t + 1) * bitsPerTable)
       struct(lit(t).as("table"), bucketOf(col("v"), tp).as("bucket"))
     }
-    val e = e0.withColumn("tb", explode(array(tabBuckets: _*)))
-      .select(col("vec_id"), col("v"), col("tb.table").as("table"),
-        col("tb.bucket").as("bucket"))
-    val q = e.filter(col("vec_id").isin(queryIds: _*))
-      .select(col("vec_id").as("query_id"), col("v").as("qv"),
-        col("table"), col("bucket"))
-    val eCapped = e.withColumn("bucket_rank", row_number().over(
+    // SLIM signature rows (vec_id, table, bucket) — the per-bucket cap
+    // window and the bucket join shuffle ~24-byte rows, never the vector
+    // payload; vectors are joined back ONLY for surviving candidates (one
+    // corpus-payload shuffle total, vs nTables× when v rides the window)
+    val banded = e0.select(col("vec_id"),
+        explode(array(tabBuckets: _*)).as("tb"))
+      .select(col("vec_id"), col("tb.table").as("table"), col("tb.bucket").as("bucket"))
+    val q = banded.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("query_id"), col("table"), col("bucket"))
+    val eCapped = banded.withColumn("bucket_rank", row_number().over(
         Window.partitionBy(col("table"), col("bucket")).orderBy(col("vec_id").asc)))
       .filter(col("bucket_rank") <= maxBucket).drop("bucket_rank")
-    eCapped.join(q, Seq("table", "bucket"))
+    val cand = eCapped.join(broadcast(q), Seq("table", "bucket"))
       .filter(col("vec_id") =!= col("query_id"))
-      .select("query_id", "qv", "vec_id", "v").distinct() // union over tables
+      .select("query_id", "vec_id").distinct() // union over tables
+    val qv = e0.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    cand.join(e0, Seq("vec_id")).join(broadcast(qv), Seq("query_id"))
       .withColumn("cos5", round(
         dot(col("v"), col("qv")) / (norm(col("v")) * norm(col("qv"))), 5))
       .withColumn("rank", row_number().over(

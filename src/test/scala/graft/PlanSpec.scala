@@ -72,6 +72,18 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("hashpartitioning(doc_id"), "corpus rows must never shuffle by doc")
   }
 
+  test("bounded_collect_list keeps exactly the K order-smallest across partitions (heap path)") {
+    import graft.functions.BoundedCollectList.bounded_collect_list
+    val rng = new scala.util.Random(7)
+    val rows = (0 until 5000).map(_ => (rng.nextInt(4), rng.nextInt(1000000)))
+    val df = rows.toDF("k", "v").repartition(8)
+      .groupBy("k").agg(bounded_collect_list(col("v"), 24).as("vs"))
+    val got = df.collect().map(r => r.getInt(0) -> r.getSeq[Int](1).toList).toMap
+    val want = rows.groupBy(_._1).map { case (k, vs) =>
+      k -> vs.map(_._2).sorted.take(24).toList }
+    assert(got == want)
+  }
+
   test("link plan: ambiguity probe is a broadcast automaton filter, NOT a contains-BNLJ corpus scan") {
     val raw = Seq(RawTriple("d1", 0, "X", "P", "B", true, true, "", 1.0)).toDS().toDF()
     // 'X' maps to two canonicals → the ambiguity slow path is IN this plan
