@@ -61,7 +61,7 @@ object Fixtures {
     val r = root(sfDir)
     // bump the suffix whenever fixture content changes so stale round-N
     // fixtures regenerate (deterministic, ~30s at sf0.01)
-    val ready = Paths.get(r, "_READY_v5")
+    val ready = Paths.get(r, "_READY_v6")
     if (Files.exists(ready)) return r
     import spark.implicits._
 

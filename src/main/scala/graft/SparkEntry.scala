@@ -662,7 +662,8 @@ object SparkEntry {
          |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
          |SELECT a, b, cos5 FROM pr WHERE cos5 >= 0.95 ORDER BY a, b""".stripMargin,
     // IVF TRAINING replay from the ivf_seeds fixture: nearest-seed
-    // assignment (same L2² identity and cid tie-break as the Spark kernel)
+    // assignment (same SHIFTED-L2 score |c|²−2v·c and cid tie-break as the
+    // Spark kernel — |v|² is a per-row constant, dropped on BOTH sides)
     // then the per-cell elementwise mean — one full Lloyd round re-derived
     // in SQL, so the training kernel (not just search) is oracled
     "q_ivf_train" ->
@@ -671,7 +672,7 @@ object SparkEntry {
          |c AS (SELECT cid, c::DOUBLE[] AS c FROM ${p("ivf_seeds")}),
          |asg AS (SELECT vec_id, v, cid FROM (
          |  SELECT e.vec_id, e.v, c.cid, row_number() OVER (PARTITION BY e.vec_id ORDER BY
-         |    list_dot_product(e.v, e.v) + list_dot_product(c.c, c.c)
+         |    list_dot_product(c.c, c.c)
          |      - 2 * list_dot_product(e.v, c.c) ASC, c.cid ASC) AS rk
          |  FROM e CROSS JOIN c) WHERE rk = 1),
          |cnt AS (SELECT cid, count(*) AS n FROM asg GROUP BY cid),
@@ -681,21 +682,22 @@ object SparkEntry {
          |GROUP BY x.cid, cnt.n, x.pos
          |ORDER BY cid, pos""".stripMargin,
     // full IVF replay from the ivf_centroids fixture: nearest-cell
-    // assignment (L2² = |x|²+|c|²−2x·c, same three dots in the same order),
-    // nprobe probing, exact-cosine scoring, top-k
+    // assignment (shifted-L2 score |c|²−2x·c, same dots in the same order
+    // as the Spark kernel — the per-row |x|² constant is dropped on both
+    // sides), nprobe probing, exact-cosine scoring, top-k
     "q_ann_ivf" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
          |  FROM read_parquet('/root/testdata/sf0.01/embeddings.parquet')),
          |c AS (SELECT cid, c::DOUBLE[] AS c FROM ${p("ivf_centroids")}),
          |asg AS (SELECT vec_id, cid FROM (
          |  SELECT e.vec_id, c.cid, row_number() OVER (PARTITION BY e.vec_id ORDER BY
-         |    list_dot_product(e.v, e.v) + list_dot_product(c.c, c.c)
+         |    list_dot_product(c.c, c.c)
          |      - 2 * list_dot_product(e.v, c.c) ASC, c.cid ASC) AS rk
          |  FROM e CROSS JOIN c) WHERE rk = 1),
          |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id IN (0, 1, 2, 3, 4)),
          |pr AS (SELECT query_id, cid FROM (
          |  SELECT q.query_id, c.cid, row_number() OVER (PARTITION BY q.query_id ORDER BY
-         |    list_dot_product(q.qv, q.qv) + list_dot_product(c.c, c.c)
+         |    list_dot_product(c.c, c.c)
          |      - 2 * list_dot_product(q.qv, c.c) ASC, c.cid ASC) AS rk
          |  FROM q CROSS JOIN c) WHERE rk <= 4),
          |cand AS (SELECT pr.query_id, asg.vec_id FROM pr JOIN asg USING (cid)

@@ -171,8 +171,13 @@ object KgQueries {
     // per hop are deterministic by (hops, name, node_id). The frontier
     // itself carries only ids: an edge endpoint missing from the nodes
     // table is still traversed THROUGH (it is only absent from the final
-    // named output, as before the in-loop cap existed) — its name joins
-    // null and sorts last among a hop's cap winners.
+    // named output) — its name joins null and sorts last among a hop's
+    // cap winners. Deliberate semantics: the budget counts DISCOVERED ids
+    // (dangling ones included), i.e. it bounds frontier/visited memory
+    // like the reference's id-holding frontier channel — so under a
+    // binding cap on a referentially-drifted graph the NAMED output may
+    // hold fewer than maxNodes rows. (The q_bfs oracle compares the
+    // non-binding-cap configuration.)
     while (hop < maxHops && visitedCount < maxNodes && !frontier.isEmpty) {
       hop += 1
       val candidates = frontier.join(adj, frontier("node_id") === adj("src_id"))

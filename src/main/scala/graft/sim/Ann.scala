@@ -149,40 +149,40 @@ object Ann {
       .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
       .sortBy(_._1)
 
-  /** Map-only nearest-centroid id for a vector column: per-centroid L2² via
-    * the identity |x|²+|c|²−2x·c (dot products in a fixed left-to-right
-    * order — the same arithmetic an external engine reproduces exactly),
-    * argmin via `array_min` over (d2, cid) structs — lexicographic struct
-    * ordering IS the lowest-cid tie-break. The centroids ride in the plan
-    * as literals, so the corpus is never shuffled and never crossed with a
-    * k-row side. Constant subterms are hoisted: |v|² is evaluated once per
-    * row (not once per centroid — `v` here must be the dedicated `vv`
-    * column's source) and |c|² is a driver-computed literal (left-to-right
-    * summation, bit-identical to the Catalyst fold, so FP parity with the
-    * SQL oracle holds). */
-  private def nearestCid(v: Column, vv: Column, cents: Array[(Int, Array[Double])]): Column = {
+  /** Map-only nearest-centroid id for a vector column. The argmin of
+    * L2² = |v|²+|c|²−2v·c over centroids is invariant to the per-row
+    * constant |v|², so the score is the SHIFTED form |c|²−2v·c — the k−1
+    * redundant |v|² folds per row disappear entirely (an earlier hoist of
+    * |v|² into a column was undone by CollapseProject inlining it back
+    * into the lambda, where higher-order functions re-evaluate it per
+    * centroid). |c|² is a driver-computed literal (left-to-right
+    * summation, bit-identical to the Catalyst fold). The SQL oracles rank
+    * by the SAME shifted expression, so tie behavior stays aligned by
+    * construction. Argmin via `array_min` over (score, cid) structs —
+    * lexicographic struct ordering IS the lowest-cid tie-break. The
+    * centroids ride in the plan as literals, so the corpus is never
+    * shuffled and never crossed with a k-row side. */
+  private def nearestCid(v: Column, cents: Array[(Int, Array[Double])]): Column = {
     require(cents.nonEmpty, "no centroids")
-    def normSq(c: Array[Double]): Double = {
-      var s = 0.0; var i = 0
-      while (i < c.length) { s += c(i) * c(i); i += 1 }
-      s
-    }
     val centsCol = array(cents.map { case (cid, c) =>
       struct(lit(cid).as("cid"), lit(normSq(c)).as("cc"),
         array(c.map(x => lit(x)): _*).as("c"))
     }: _*)
     val scored = transform(centsCol, ct =>
       struct(
-        (vv + ct.getField("cc") - lit(2.0) * dot(v, ct.getField("c"))).as("d2"),
+        (ct.getField("cc") - lit(2.0) * dot(v, ct.getField("c"))).as("d2"),
         ct.getField("cid").as("cid")))
     array_min(scored).getField("cid")
   }
 
-  /** Adds the per-row |v|² column then the nearest-centroid id. */
+  private def normSq(c: Array[Double]): Double = {
+    var s = 0.0; var i = 0
+    while (i < c.length) { s += c(i) * c(i); i += 1 }
+    s
+  }
+
   private def withCid(e: DataFrame, cents: Array[(Int, Array[Double])]): DataFrame =
-    e.withColumn("vv", dot(col("v"), col("v")))
-      .withColumn("cid", nearestCid(col("v"), col("vv"), cents))
-      .drop("vv")
+    e.withColumn("cid", nearestCid(col("v"), cents))
 
   /** Deterministic sample-based seed selection — ONE corpus job, job count
     * independent of k. The corpus is ranked by md5(vec_id) (uniform,
@@ -293,10 +293,11 @@ object Ann {
     val assigned = assignCells(e, cents).drop("v")
     val q = e.filter(col("vec_id").isin(queryIds: _*))
       .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    // shifted-L2 ranking (|c|²−2q·c): |q|² is constant per query, so the
+    // probe order is identical — same form as nearestCid and the oracle
     val probed = q.crossJoin(broadcast(cents))
       .withColumn("d2",
-        dot(col("qv"), col("qv")) + dot(col("c"), col("c"))
-          - lit(2.0) * dot(col("qv"), col("c")))
+        dot(col("c"), col("c")) - lit(2.0) * dot(col("qv"), col("c")))
       .withColumn("rk", row_number().over(
         Window.partitionBy(col("query_id")).orderBy(col("d2").asc, col("cid").asc)))
       .filter(col("rk") <= nprobe)
