@@ -153,6 +153,28 @@ class TextOpsSpec extends SparkSuite {
     assert(ivf1.forall(_ < 30L), ivf1.toString)
   }
 
+  test("assignCells matches a naive driver-side argmin (literal-plan path, tie-break included)") {
+    val rng = new java.util.Random(23)
+    val vecs = (0L until 60L).map(i => (i, Array.fill(6)(rng.nextGaussian().toFloat)))
+    val emb = vecs.toDF("vec_id", "embedding")
+    val seeds = Ann.ivfSeeds(emb, k = 5)
+    val cents = seeds.select(col("cid"), col("c"))
+      .as[(Int, Seq[Double])].collect().sortBy(_._1)
+    val got = Ann.assignCells(
+        emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v")), seeds)
+      .select("vec_id", "cid").as[(Long, Int)].collect().toMap
+    // naive reference: full L2² argmin, lowest-cid tie-break (the shifted
+    // score used in the plan must pick the same cell)
+    vecs.foreach { case (id, vf) =>
+      val v = vf.map(_.toDouble)
+      val best = cents.minBy { case (cid, c) =>
+        val d2 = v.zip(c).map { case (a, b) => (a - b) * (a - b) }.sum
+        (d2, cid)
+      }._1
+      assert(got(id) == best, s"vec $id: got ${got(id)}, naive $best")
+    }
+  }
+
   test("lsh ANN per-bucket cap bounds candidates; hot-bucket query still probes") {
     val hot = (0L until 80L)
       .map(i => (i, Array.fill(8)(1.0f + 0.001f * i))).toDF("vec_id", "embedding")
