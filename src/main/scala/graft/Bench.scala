@@ -328,10 +328,15 @@ object Bench {
     // threads (five consecutive 8-thread runs clustered at 284-305 CPU·s
     // against 211 at 2 threads, run_s≈cpu_s and tiny GC, i.e. contention,
     // not a throttle window) and 1.5-1.8× at 16 vs 4 — so the multiplier
-    // is a level schedule with headroom above each measured band, still
-    // far below the 8-14× inflation of real throttle windows.
+    // is a level schedule with modest headroom above each measured band.
+    // The headroom must stay TIGHT: a 2.2× ceiling at 16 threads admitted
+    // ~2× mildly-throttled runs as "clean" and a whole invocation settled
+    // at eff 0.47 labeled clean while bare-thread probes read 1.00 (the
+    // 2026-08-16 4,16 ledger row); real throttle windows inflate 8-14×,
+    // mild ones ~2×, clean contention ≤1.8×.
     def cleanMult(level: Int): Double =
-      if (level > 8) 2.2 else if (level > 4) 1.6 else 1.35
+      if (level > 16) 2.3 else if (level > 8) 1.9
+      else if (level > 4) 1.6 else 1.35
     def isClean(r: RunResult, level: Int): Boolean =
       r.cpuS <= cleanMult(level) * globalMinCpu
     def cleanOf(rs: Seq[RunResult], level: Int): Option[RunResult] = {
@@ -444,14 +449,16 @@ object Bench {
       .filter(r => r._3 == nDocs && r._2 <= 1.0 && r._4 == s"$loLvl,$hiLvl" && r._5)
       .map(r => (r._1, r._2)).toSeq
     // no clean observation for this (corpus, levels) yet → only the current
-    // run may stand in, and only if ITS pair is clean; a throttled first
-    // run must not publish a polluted "best observed" (0.0 = none yet)
+    // run may stand in, and only if ITS pair is clean AND in-band (the
+    // current row is appended above before bestLine parses the file, so
+    // this fallback fires only for eff > 1.0 — which the filter itself
+    // brands a throttled-N artifact); 0.0 = none yet
     val bestEff =
       if (bestLine.nonEmpty) bestLine.map(_._2).max
-      else if (cleanPair) eff else 0.0
+      else if (cleanPair && eff <= 1.0) eff else 0.0
     val bestT16 =
       if (bestLine.nonEmpty) bestLine.map(_._1).min
-      else if (cleanPair) t4N else Double.PositiveInfinity
+      else if (cleanPair && eff <= 1.0) t4N else Double.PositiveInfinity
 
     val qs = f"""{"pipeline_local$loLvl":$tN%.3f,"pipeline_local$hiLvl":$t4N%.3f}"""
     println(
@@ -482,11 +489,12 @@ object Bench {
          |executor CPU time for this deterministic, fixed-size job inflates
          |8-14× inside one (see ledger). A run is CLEAN iff its CPU time is
          |within a level-dependent multiple of the minimum observed across
-         |all runs: 1.35× at ≤4 threads, 1.6× at 5-8, 2.2× above 8 — clean
-         |runs legitimately carry memory-contention CPU inflation that grows
-         |with thread count on this single socket (measured ~1.35× at 8 vs
-         |2 threads, 1.5-1.8× at 16 vs 4), still far below throttle-window
-         |inflation.
+         |all runs: 1.35× at ≤4 threads, 1.6× at 5-8, 1.9× at 9-16, 2.3×
+         |above 16 — clean runs legitimately carry memory-contention CPU
+         |inflation that grows with thread count on this single socket
+         |(measured ~1.35× at 8 vs 2 threads, 1.5-1.8× at 16 vs 4), and the
+         |ceilings sit just above each measured band so that ~2× mildly
+         |throttled windows are still rejected.
          |The reported pair is the fastest clean run per level when one
          |exists; a level with zero clean runs falls back to its lowest-CPU
          |run and is flagged here. **This invocation's reported pair:

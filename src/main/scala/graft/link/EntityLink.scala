@@ -52,16 +52,15 @@ object EntityLink {
     // to "every alias is unique" without building the flagged join or the
     // slow-path plan.
     import spark.implicits._
-    val nAmbiguous = aliases.groupBy("alias")
+    val candCounts = aliases.groupBy("alias")
       .agg(countDistinct("canonical").as("n_cands"))
-      .filter(col("n_cands") > 1).count()
+    val nAmbiguous = candCounts.filter(col("n_cands") > 1).count()
     val (uniqueAliases, ambiguous) =
       if (nAmbiguous == 0)
         (aliases.select("alias", "canonical", "prior"), null: org.apache.spark.sql.DataFrame)
       else {
         val flagged = aliases.select("alias", "canonical", "prior")
-          .join(aliases.groupBy("alias").agg(countDistinct("canonical").as("n_cands")),
-            Seq("alias"))
+          .join(candCounts, Seq("alias"))
         (flagged.filter(col("n_cands") === 1).drop("n_cands"),
           flagged.filter(col("n_cands") > 1).drop("n_cands")
             .localCheckpoint()) // tiny; evaluated once for the joins
