@@ -129,11 +129,25 @@ object SparkEntry {
     "q_bfs_reachable" -> ((s, d) =>
       KgQueries.reachableFrom(Fixtures.nodesFlat(s, d), Fixtures.edgesFlat(s, d),
         "Artificial Intelligence", maxHops = 2, maxNodes = 1000)),
-    // --- S13 manual edge creation (MERGE semantics) ---
-    "q_add_edge" -> ((s, d) =>
-      KgQueries.addEdge(Fixtures.edgesFlat(s, d), 111L, 222L, "Manually Added")
+    // --- O6 with the maxNodes budget BINDING mid-traversal: at sf0.01 the
+    //     seed reaches 1 + 7 + 15 nodes at hops 0/1/2, so maxNodes=15 takes
+    //     all of hop 1 and forces the per-hop (hops, name, node_id) winner
+    //     selection to pick 7 of hop 2's 15 candidates — the oracle replays
+    //     the in-loop budget hop by hop ---
+    "q_bfs_capped" -> ((s, d) =>
+      KgQueries.reachableFrom(Fixtures.nodesFlat(s, d), Fixtures.edgesFlat(s, d),
+        "Artificial Intelligence", maxHops = 2, maxNodes = 15)),
+    // --- S13 manual edge creation through the TABLE path: base snapshot +
+    //     O(1)-row delta commit + read-side MERGE view (the oracle replays
+    //     the merge as a plain union+groupBy) ---
+    "q_add_edge" -> ((s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft-addedge").toString
+      graft.tables.TableIO.commitSnapshot(Fixtures.edgesFlat(s, d), dir, "edges")
+      KgQueries.addEdgeDelta(s, dir, 111L, 222L, "Manually Added")
+      KgQueries.mergedEdges(graft.tables.TableIO.readCurrent(s, dir))
         .select("src_id", "dst_id", "pred_norm", "n_obs")
-        .orderBy("src_id", "dst_id", "pred_norm"))
+        .orderBy("src_id", "dst_id", "pred_norm")
+    })
   )
 
   private def documentsDf(s: SparkSession, d: String) =
@@ -232,12 +246,19 @@ object SparkEntry {
     //     the oracle independently replays nearest-seed assignment and the
     //     per-cell mean from the ivf_seeds fixture — training is no longer
     //     self-certified ---
+    // Parity rounds the cell means at 4 dp: the two engines accumulate the
+    // per-cell sums in different orders (VectorSum partial/merge order vs
+    // DuckDB's avg), so the doubles can differ by the summation error —
+    // bounded by ~n·ulp(Σ|x|) ≈ 1e-13 for these cells (n ≤ 500, |x| ≤ 1),
+    // 9 orders below the 1e-4 rounding step. A 6-dp comparison left a
+    // ~1e-8/run chance of a value landing within the error of a rounding
+    // boundary and flaking the hash; at 4 dp that is ~1e-10.
     "q_ivf_train" -> ((s, d) => {
       val r = Fixtures.ensure(s, d)
       graft.sim.Ann.lloydRound(s.read.parquet(s"$d/embeddings.parquet"),
           s.read.parquet(s"$r/ivf_seeds"))
         .select(col("cid"), col("n"), posexplode(col("c")).as(Seq("pos", "m")))
-        .select(col("cid"), col("n"), col("pos"), round(col("m"), 6).as("m6"))
+        .select(col("cid"), col("n"), col("pos"), round(col("m"), 4).as("m4"))
         .orderBy("cid", "pos")
     }),
     // --- IVF ANN (k-means coarse quantizer, nprobe cells); oracle replays
@@ -449,6 +470,38 @@ object SparkEntry {
          |SELECT m.node_id, n.name, CAST(m.hops AS INTEGER) AS hops
          |FROM m JOIN ${p("nodes_flat")} n USING (node_id)
          |ORDER BY hops, name LIMIT 1000""".stripMargin,
+    // in-loop budget replay: per hop, candidates = new distinct successors;
+    // when they exceed the remaining budget the winners are the budget-many
+    // smallest by (name NULLS LAST, node_id) — exactly reachableFrom's
+    // mid-loop cap. maxNodes=15: seed 1 + hop1 7 (under budget 14, all in)
+    // + hop2 top-7-of-15 (budget 15-1-7)
+    "q_bfs_capped" ->
+      s"""WITH adj AS (SELECT DISTINCT src_id, dst_id FROM ${p("edges_flat")}),
+         |nd AS (SELECT node_id, name FROM ${p("nodes_flat")}),
+         |seed AS (SELECT node_id FROM nd WHERE name = 'Artificial Intelligence'),
+         |h1c AS (SELECT DISTINCT a.dst_id AS node_id FROM seed s
+         |  JOIN adj a ON a.src_id = s.node_id
+         |  WHERE a.dst_id NOT IN (SELECT node_id FROM seed)),
+         |h1 AS (SELECT node_id FROM (
+         |    SELECT c.node_id, row_number() OVER (
+         |      ORDER BY n.name ASC NULLS LAST, c.node_id ASC) AS rk
+         |    FROM h1c c LEFT JOIN nd n USING (node_id))
+         |  WHERE rk <= 15 - (SELECT count(*) FROM seed)),
+         |h2c AS (SELECT DISTINCT a.dst_id AS node_id FROM h1 f
+         |  JOIN adj a ON a.src_id = f.node_id
+         |  WHERE a.dst_id NOT IN (SELECT node_id FROM seed
+         |                         UNION SELECT node_id FROM h1)),
+         |h2 AS (SELECT node_id FROM (
+         |    SELECT c.node_id, row_number() OVER (
+         |      ORDER BY n.name ASC NULLS LAST, c.node_id ASC) AS rk
+         |    FROM h2c c LEFT JOIN nd n USING (node_id))
+         |  WHERE rk <= 15 - (SELECT count(*) FROM seed) - (SELECT count(*) FROM h1)),
+         |vis AS (SELECT node_id, 0 AS hops FROM seed
+         |  UNION ALL SELECT node_id, 1 FROM h1
+         |  UNION ALL SELECT node_id, 2 FROM h2)
+         |SELECT v.node_id, n.name, CAST(v.hops AS INTEGER) AS hops
+         |FROM vis v JOIN nd n USING (node_id)
+         |ORDER BY hops, name LIMIT 15""".stripMargin,
     "q_add_edge" ->
       s"""SELECT src_id, dst_id, lower(replace(pred, ' ', '_')) AS pred_norm,
          |  CAST(sum(n_obs) AS BIGINT) AS n_obs
@@ -677,7 +730,7 @@ object SparkEntry {
          |  FROM e CROSS JOIN c) WHERE rk = 1),
          |cnt AS (SELECT cid, count(*) AS n FROM asg GROUP BY cid),
          |x AS (SELECT cid, generate_subscripts(v, 1) - 1 AS pos, unnest(v) AS x FROM asg)
-         |SELECT x.cid, cnt.n, CAST(x.pos AS INTEGER) AS pos, round(avg(x.x), 6) AS m6
+         |SELECT x.cid, cnt.n, CAST(x.pos AS INTEGER) AS pos, round(avg(x.x), 4) AS m4
          |FROM x JOIN cnt USING (cid)
          |GROUP BY x.cid, cnt.n, x.pos
          |ORDER BY cid, pos""".stripMargin,

@@ -204,31 +204,68 @@ object KgQueries {
       .select("node_id", "name", "hops")
   }
 
-  /** S13: manual edge creation by node id (REST POST /api/relationships).
-    * MERGE semantics on (src,dst,pred); `description` is ON-CREATE-only —
-    * an existing edge's description wins over the incoming row's. */
-  def addEdge(edges: DataFrame, srcId: Long, dstId: Long, pred: String): DataFrame = {
-    val spark = edges.sparkSession
+  /** Marker prefix on manually-added edge descriptions; [[mergedEdges]]
+    * ranks marked descriptions BELOW extracted ones (ON-CREATE-only
+    * semantics without needing write-order metadata in the chain). */
+  val ManualDescriptionPrefix = "Manually added: "
+
+  /** The single manual edge row, full edge-table schema. `provType` is the
+    * target table's provenance array type (its doc-id field type varies by
+    * table). */
+  private def edgeRow(spark: SparkSession,
+      provType: org.apache.spark.sql.types.DataType,
+      srcId: Long, dstId: Long, pred: String): DataFrame = {
     import spark.implicits._
-    val row = Seq((srcId, dstId, pred)).toDF("src_id", "dst_id", "pred")
+    Seq((srcId, dstId, pred)).toDF("src_id", "dst_id", "pred")
       .withColumn("pred_norm", Materialize.normPred(col("pred")))
       .withColumn("strength", lit(1.0))
       .withColumn("n_obs", lit(1L))
-      .withColumn("description", lit(s"Manually added: $pred"))
-      .withColumn("provenance", array().cast(edges.schema("provenance").dataType))
+      .withColumn("description", lit(s"$ManualDescriptionPrefix$pred"))
+      .withColumn("provenance", array().cast(provType))
       .withColumn("created_at", Materialize.CreatedAt)
-    // provenance merge is bounded like buildEdges' (the MERGE invariant keeps
-    // one row per key, so collect_list sees ≤2 arrays, but the CAP is what
-    // stops repeated addEdge calls from growing a hub edge's array forever)
-    edges.withColumn("is_new", lit(0)).unionByName(row.withColumn("is_new", lit(1)))
+  }
+
+  /** Read-side MERGE over a (possibly delta-chained) union of edge rows: one
+    * row per (src_id, dst_id, pred) with the write-time MERGE semantics —
+    * n_obs summed, strength max, `description` ON-CREATE-only (an extracted
+    * edge's canonical sentence outranks a manual add's
+    * [[ManualDescriptionPrefix]] marker), provenance merged
+    * sorted-then-capped at [[Materialize.ProvenanceCap]]. Every aggregate is
+    * order-insensitive, so the view is deterministic over the unordered
+    * parquet union a snapshot chain reads as; it is idempotent, so applying
+    * it to an already-merged table is the identity on every column. */
+  def mergedEdges(chain: DataFrame): DataFrame =
+    chain
+      .withColumn("is_manual",
+        col("description").startsWith(ManualDescriptionPrefix).cast("int"))
       .groupBy("src_id", "dst_id", "pred").agg(
-        first("pred_norm").as("pred_norm"), max("strength").as("strength"),
+        min("pred_norm").as("pred_norm"), // = f(pred): constant per key
+        max("strength").as("strength"),
         sum("n_obs").as("n_obs"),
-        min(struct(col("is_new"), col("description")))
+        min(struct(col("is_manual"), col("description")))
           .getField("description").as("description"), // create-wins
-        slice(flatten(collect_list("provenance")), 1, Materialize.ProvenanceCap)
-          .as("provenance"),
-        first("created_at").as("created_at"))
+        slice(sort_array(flatten(collect_list("provenance"))), 1,
+          Materialize.ProvenanceCap).as("provenance"),
+        min("created_at").as("created_at"))
+
+  /** S13: manual edge creation by node id (REST POST /api/relationships) —
+    * frame-level MERGE (full groupBy over the input frame; fine for tests
+    * and dictionary-scale frames). The TABLE path is [[addEdgeDelta]]. */
+  def addEdge(edges: DataFrame, srcId: Long, dstId: Long, pred: String): DataFrame =
+    mergedEdges(edges.unionByName(edgeRow(edges.sparkSession,
+      edges.schema("provenance").dataType, srcId, dstId, pred)))
+
+  /** S13 scale path: a single-row REST-style add as an O(1) DELTA commit —
+    * the write volume is the ONE new row ([[graft.tables.TableIO.commitDelta]]),
+    * never a table rewrite; MERGE semantics are applied at read time by
+    * [[mergedEdges]]. At a 10⁹-edge table this is the only viable shape —
+    * the previous implementation rewrote the whole table per added edge. */
+  def addEdgeDelta(spark: SparkSession, tableDir: String,
+      srcId: Long, dstId: Long, pred: String): Unit = {
+    val provType = graft.tables.TableIO.readCurrent(spark, tableDir)
+      .schema("provenance").dataType
+    graft.tables.TableIO.commitDelta(
+      edgeRow(spark, provType, srcId, dstId, pred), tableDir, "add_edge")
   }
 
   /** G8: graph snapshot export (nodes + links, id-addressed). */

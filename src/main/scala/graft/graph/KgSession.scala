@@ -19,7 +19,15 @@ final class KgSession(val spark: SparkSession, val workDir: String) {
   def edgesDir: String = Pipeline.edgesDir(conf)
 
   def nodes: DataFrame = TableIO.readCurrent(spark, Pipeline.nodesDir(conf))
-  def edges: DataFrame = TableIO.readCurrent(spark, Pipeline.edgesDir(conf))
+
+  /** Current edges through the read-side MERGE view: a delta chain may hold
+    * several rows for one (src,dst,pred) key (repeated [[addEdge]]), and
+    * compaction unions the chain verbatim — the MERGE is applied here, at
+    * read time. Identity on an already-merged table (one aggregate over a
+    * dictionary-scale frame). */
+  def edges: DataFrame =
+    KgQueries.mergedEdges(TableIO.readCurrent(spark, Pipeline.edgesDir(conf)))
+
   def triples: DataFrame = TableIO.readCurrent(spark, Pipeline.triplesDir(conf))
 
   // ------------------------------------------------------------ query side
@@ -37,10 +45,10 @@ final class KgSession(val spark: SparkSession, val workDir: String) {
     KgQueries.reachableFrom(nodes, edges, seed, maxHops, maxNodes)
 
   // --------------------------------------------------------- mutation side
-  /** S13 manual edge creation: MERGE semantics, committed as a snapshot. */
+  /** S13 manual edge creation: an O(1)-row DELTA commit (never a table
+    * rewrite); MERGE semantics surface through the [[edges]] read view. */
   def addEdge(srcId: Long, dstId: Long, pred: String): Unit =
-    TableIO.commitSnapshot(
-      KgQueries.addEdge(edges, srcId, dstId, pred), Pipeline.edgesDir(conf), "edges")
+    KgQueries.addEdgeDelta(spark, Pipeline.edgesDir(conf), srcId, dstId, pred)
 
   /** Node id lookup by exact name (the frontend's id-addressed API needs it). */
   def idOf(name: String): Option[Long] =

@@ -199,6 +199,7 @@ object Ann {
   def ivfSeeds(emb: DataFrame, k: Int, sampleSize: Int = 4096): DataFrame = {
     require(k >= 1, "k must be positive")
     val e = emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .filter(col("v").isNotNull) // null vectors have no distance — not seedable
     val sample = e
       .orderBy(md5(col("vec_id").cast("string")).asc, col("vec_id").asc)
       .limit(math.max(k, sampleSize))
@@ -246,7 +247,12 @@ object Ann {
     * classic Lloyd). Returns (cid, n, c). */
   def lloydRound(emb: DataFrame, cents: DataFrame): DataFrame = {
     import graft.functions.VectorSum.vector_sum
+    // null embeddings are excluded BEFORE assignment: a null vector has no
+    // nearest cell (its shifted-L2 score is null, so array_min's pick would
+    // be arbitrary), and counting it in `n` while vector_sum skips it would
+    // deflate the cell mean — n must count exactly the summed rows
     val e = emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .filter(col("v").isNotNull)
     withCid(e, collectCentroids(cents))
       .groupBy("cid")
       .agg(vector_sum(col("v")).as("s"), count(lit(1)).as("n"))
@@ -279,7 +285,7 @@ object Ann {
     * [[nearestCid]] projection (the previous form shuffled every corpus row
     * through a row_number window on vec_id). */
   def assignCells(e: DataFrame, cents: DataFrame): DataFrame =
-    withCid(e, collectCentroids(cents))
+    withCid(e.filter(col("v").isNotNull), collectCentroids(cents))
       .select(col("vec_id"), col("v"), col("cid"))
 
   /** IVF search: probe the `nprobe` cells nearest each query, exact-score

@@ -87,24 +87,53 @@ object TableIO {
     * rewrite per ~maxChain appends keeps read fan-in bounded (amortized
     * O(newRows · maxChain⁻¹ · table) — the standard log-structured trade).
     * Falls back to a full commit when the table has no snapshot yet.
-    * Single-appender discipline (see [[commitSnapshot]] concurrency
-    * scope). */
+    *
+    * Appender discipline is ENFORCED, not just documented: in-JVM appenders
+    * to one table dir are serialized (so concurrent ticks chain correctly
+    * instead of both chaining onto the same parent and losing the lower
+    * id from the read chain), and a cross-process appender is detected at
+    * repoint time — CURRENT having moved since the chain head was read
+    * fails the commit loudly instead of silently dropping the other
+    * writer's rows. */
   def commitDelta(newRows: DataFrame, dir: String, stage: String,
       maxChain: Int = 64): Unit = {
-    val base = Paths.get(dir)
-    currentSnapshotId(dir) match {
-      case None => commitSnapshot(newRows, dir, stage)
-      case Some(cur) =>
-        val chain = snapshotChain(dir, cur)
-        if (chain.length >= maxChain)
-          commitSnapshot(
-            readCurrent(newRows.sparkSession, dir).unionByName(newRows), dir, stage)
-        else {
-          val n = writeSnap(newRows, base, stage, deltaOf = cur)
-          repointCurrent(base, n)
-        }
+    val lock = appendLocks.computeIfAbsent(
+      Paths.get(dir).toAbsolutePath.toString, _ => new Object)
+    lock.synchronized {
+      val base = Paths.get(dir)
+      currentSnapshotId(dir) match {
+        case None => commitSnapshot(newRows, dir, stage)
+        case Some(cur) =>
+          // fail-fast on schema drift: a delta snapshot persists whatever
+          // schema newRows has, and a mismatch would otherwise only surface
+          // later as silent nulls / read errors when the chain is unioned
+          // (the compaction path fails fast inside unionByName; this check
+          // restores that guarantee for every delta commit). Name→type
+          // equality, order- and nullability-insensitive; the write below
+          // reorders to the snapshot's column order so the chain's parquet
+          // files stay column-aligned.
+          val curSchema = readCurrent(newRows.sparkSession, dir).schema
+          val curSig = curSchema.fields.map(f => f.name -> f.dataType.sql).toMap
+          val newSig = newRows.schema.fields.map(f => f.name -> f.dataType.sql).toMap
+          require(curSig == newSig,
+            s"commitDelta($dir): delta schema does not match the current snapshot\n" +
+              s"  table: ${curSchema.simpleString}\n  delta: ${newRows.schema.simpleString}")
+          val aligned = newRows.select(curSchema.fieldNames.map(col(_)): _*)
+          val chain = snapshotChain(dir, cur)
+          val n =
+            if (chain.length >= maxChain)
+              writeSnap(readCurrent(newRows.sparkSession, dir).unionByName(aligned),
+                base, stage, deltaOf = -1)
+            else writeSnap(aligned, base, stage, deltaOf = cur)
+          repointCurrentFrom(base, cur, n)
+      }
     }
   }
+
+  /** One lock object per table dir: serializes the read-chain-head →
+    * write-delta → repoint sequence for in-JVM delta appenders. */
+  private val appendLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
 
   private def writeSnap(df: DataFrame, base: Path, stage: String, deltaOf: Int): Int = {
     Files.createDirectories(base)
@@ -144,6 +173,21 @@ object TableIO {
     if (currentSnapshotId(base.toString).forall(_ < n))
       writeJsonAtomic(base.resolve("CURRENT"), f"snap-$n%05d")
   }
+
+  /** CAS repoint for delta commits: advance CURRENT `expected → n`, failing
+    * LOUDLY if CURRENT moved since the chain head was read — that means a
+    * second (cross-process) appender chained onto the same parent, and
+    * silently repointing would drop its rows from the read chain. */
+  private def repointCurrentFrom(base: Path, expected: Int, n: Int): Unit =
+    repointLock.synchronized {
+      val cur = currentSnapshotId(base.toString)
+      if (!cur.contains(expected) || n <= expected)
+        throw new java.util.ConcurrentModificationException(
+          s"commitDelta($base): CURRENT moved snap-$expected -> " +
+            s"${cur.fold("<none>")(c => f"snap-$c%05d")} during the commit " +
+            f"(concurrent appender?); snap-$n%05d left unreferenced")
+      writeJsonAtomic(base.resolve("CURRENT"), f"snap-$n%05d")
+    }
 
   /** (fileName, rowCount) per parquet file in a directory, via footers. */
   def parquetFileRows(dir: Path): Array[(String, Long)] = {
@@ -322,9 +366,16 @@ object TableIO {
     case _: java.util.concurrent.TimeoutException => true
     case _: org.apache.spark.sql.AnalysisException => false
     case _: org.apache.spark.SparkException =>
-      // task/stage-level failures are transient-shaped unless they wrap a
-      // deterministic cause
-      Option(e.getCause).forall(isRetryable)
+      // task/stage-level failures are transient-shaped only when they wrap a
+      // transient cause or carry a known-transient marker in the message; a
+      // CAUSE-LESS SparkException (an assertion or task error flattened into
+      // the message) is deterministic — retrying it would just burn the full
+      // backoff budget before surfacing the real bug
+      Option(e.getCause).exists(isRetryable) || {
+        val m = Option(e.getMessage).getOrElse("").toLowerCase
+        Seq("fetchfailed", "timed out", "timeout", "connection reset",
+          "connection refused", "executor lost", "heartbeat").exists(m.contains)
+      }
     case _ => false
   }
 

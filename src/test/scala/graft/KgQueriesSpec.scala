@@ -84,6 +84,29 @@ class KgQueriesSpec extends SparkSuite {
       .select("description").as[String].head() == "Manually added: Hand Made")
   }
 
+  test("addEdgeDelta writes O(1) rows per add; read-side merge equals the frame-level MERGE") {
+    import graft.tables.TableIO
+    val dir = tmpDir("addEdgeDelta")
+    TableIO.commitSnapshot(edges, dir, "edges")
+    KgQueries.addEdgeDelta(spark, dir, 9L, 8L, "Hand Made")
+    KgQueries.addEdgeDelta(spark, dir, 9L, 8L, "Hand Made")
+    // write volume: each add persisted exactly ONE row (never the table)
+    assert(TableIO.parquetRowCount(s"$dir/snap-00001") == 1)
+    assert(TableIO.parquetRowCount(s"$dir/snap-00002") == 1)
+    val merged = KgQueries.mergedEdges(TableIO.readCurrent(spark, dir))
+    assert(merged.count() == 4)
+    val row = merged.filter(col("src_id") === 9L)
+      .select("pred_norm", "n_obs", "description").as[(String, Long, String)].head()
+    assert(row == ("hand_made", 2L, "Manually added: Hand Made"))
+    // ON-CREATE: a delta add onto an existing key keeps the extracted
+    // description and bumps n_obs through the read view
+    KgQueries.addEdgeDelta(spark, dir, 1L, 2L, "Includes")
+    val over = KgQueries.mergedEdges(TableIO.readCurrent(spark, dir))
+      .filter(col("src_id") === 1L && col("dst_id") === 2L)
+      .select("description", "n_obs").as[(String, Long)].head()
+    assert(over == ("fixture edge", 2L))
+  }
+
   test("cleanup drops empty-pred edges and orphan nodes") {
     val dirtyE = edges.select("src_id", "dst_id", "pred")
       .union(Seq((7L, 8L, " ")).toDF("src_id", "dst_id", "pred"))

@@ -145,6 +145,64 @@ class TableIOSpec extends SparkSuite {
     assert(TableIO.snapshotChain(dir, 3) == Seq(3))
   }
 
+  test("delta commit validates schema against the current snapshot (fail fast, not silent nulls)") {
+    val dir = tmpDir("deltaSchema")
+    TableIO.commitSnapshot(Seq((1L, "a")).toDF("id", "src"), dir, "t")
+    // column-set drift rejected
+    val e = intercept[IllegalArgumentException] {
+      TableIO.commitDelta(Seq((2L, 5)).toDF("id", "other"), dir, "t")
+    }
+    assert(e.getMessage.contains("schema"), e.getMessage)
+    // type drift on a shared name rejected (id INT vs BIGINT)
+    intercept[IllegalArgumentException] {
+      TableIO.commitDelta(Seq((2, "b")).toDF("id", "src"), dir, "t")
+    }
+    // a reordered but name↔type-identical frame commits, and the chain read
+    // resolves its values into the right columns (files stay column-aligned)
+    TableIO.commitDelta(Seq(("b", 2L)).toDF("src", "id"), dir, "t")
+    val cur = TableIO.readCurrent(spark, dir)
+    assert(cur.count() == 2)
+    assert(cur.filter(col("src") === "b").select("id").as[Long].head() == 2L)
+  }
+
+  test("concurrent in-JVM delta appenders serialize — every appended row survives the chain") {
+    val dir = tmpDir("deltaRace")
+    TableIO.commitSnapshot((1 to 10).map(i => (i.toLong, "base")).toDF("id", "src"), dir, "t")
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration._
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try {
+      val fs = (0 until 8).map { i =>
+        Future(TableIO.commitDelta(Seq((100L + i, s"d$i")).toDF("id", "src"), dir, "t"))
+      }
+      Await.result(Future.sequence(fs), 120.seconds)
+    } finally pool.shutdown()
+    // no silent row loss: the chain holds base + all 8 single-row deltas,
+    // each delta snapshot containing exactly its own row
+    assert(TableIO.readCurrent(spark, dir).count() == 18)
+    TableIO.listSnapshots(dir).drop(1).foreach(s =>
+      assert(TableIO.parquetRowCount(f"$dir/snap-$s%05d") == 1))
+  }
+
+  test("a cross-process appender moving CURRENT mid-commit fails the delta loudly") {
+    val dir = tmpDir("deltaCas")
+    TableIO.commitSnapshot(Seq((1L, "a")).toDF("id", "src"), dir, "t")
+    // a frame whose evaluation (during the delta's parquet write, i.e.
+    // between reading the chain head and repointing) moves CURRENT —
+    // simulating another PROCESS's commit landing mid-flight
+    val sneakyDir = dir
+    val sneaky = Seq((2L, "b")).toDF("id", "src").as[(Long, String)]
+      .map { r =>
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(sneakyDir, "CURRENT"), "snap-00042")
+        r
+      }.toDF("id", "src")
+    intercept[java.util.ConcurrentModificationException] {
+      TableIO.commitDelta(sneaky, dir, "t")
+    }
+  }
+
   test("CURRENT only advances: a commit cannot repoint it backwards") {
     val dir = tmpDir("mono")
     TableIO.commitSnapshot(Seq(1).toDF("x"), dir, "t")

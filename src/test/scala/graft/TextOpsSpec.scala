@@ -175,6 +175,76 @@ class TextOpsSpec extends SparkSuite {
     }
   }
 
+  test("ivfSeeds equals a naive quadratic farthest-first reference (property, ties included)") {
+    import org.scalacheck.Gen
+    // integer-grid coordinates force duplicate vectors and exact distance
+    // ties, exercising both tie-breaks (lowest-vec_id argmax pick, lowest
+    // vec_id first seed); sample sizes straddle the corpus size
+    val gen = for {
+      n <- Gen.choose(1, 36)
+      dim <- Gen.choose(1, 4)
+      k <- Gen.choose(1, 8)
+      ss <- Gen.oneOf(4, 8, 64)
+      vecs <- Gen.listOfN(n, Gen.listOfN(dim, Gen.choose(-2, 2).map(_.toFloat)))
+    } yield (k, ss, vecs.zipWithIndex.map { case (v, i) => (i.toLong * 3 + 1, v) })
+    Check.samples(gen, 15).foreach { case (k, ss, rows) =>
+      val emb = rows.toDF("vec_id", "embedding")
+      val got = Ann.ivfSeeds(emb, k, sampleSize = ss)
+        .as[(Int, Seq[Double])].collect().sortBy(_._1).toSeq
+      val want = naiveFarthestFirst(
+        rows.map { case (id, v) => (id, v.map(_.toDouble).toArray) }, k, ss)
+      assert(got.map(_._1) == want.map(_._1), s"cids: $got vs $want (k=$k ss=$ss)")
+      assert(got.map(_._2.toList) == want.map(_._2.toList),
+        s"seed vectors differ (k=$k ss=$ss n=${rows.size})")
+    }
+  }
+
+  /** Independent quadratic reference for Ann.ivfSeeds: md5-hex-ordered
+    * sample, then plain farthest-first (Gonzalez 1985) with lowest-vec_id
+    * tie-breaks, cids by seed vec_id rank. */
+  private def naiveFarthestFirst(rows: Seq[(Long, Array[Double])], k: Int,
+      sampleSize: Int): Seq[(Int, Seq[Double])] = {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val sample = rows.sortBy { case (id, _) => (md5hex(id.toString), id) }
+      .take(math.max(k, sampleSize))
+    def d2(a: Array[Double], b: Array[Double]): Double =
+      a.indices.foldLeft(0.0)((s, i) => s + (a(i) - b(i)) * (a(i) - b(i)))
+    val kk = math.min(k, sample.length)
+    var chosen = List(sample.minBy(_._1))
+    while (chosen.length < kk) {
+      val next = sample
+        .map(s => (s, chosen.map(c => d2(s._2, c._2)).min))
+        .reduceLeft { (a, b) =>
+          if (b._2 > a._2 || (b._2 == a._2 && b._1._1 < a._1._1)) b else a
+        }._1
+      chosen = chosen :+ next
+    }
+    chosen.sortBy(_._1).zipWithIndex.map { case ((_, v), cid) => (cid, v.toSeq) }
+  }
+
+  test("null embeddings are excluded from seeding and Lloyd rounds (no mean deflation)") {
+    val rng = new java.util.Random(7)
+    val base = (0L until 40L).map(i =>
+      (i, Option(Array.fill(4)(rng.nextGaussian().toFloat).toSeq)))
+    val embClean = base.toDF("vec_id", "embedding")
+    val embNulls = (base ++ Seq((100L, Option.empty[Seq[Float]]),
+      (101L, Option.empty[Seq[Float]]))).toDF("vec_id", "embedding")
+    val seeds = Ann.ivfSeeds(embClean, k = 4)
+    def rounded(emb: org.apache.spark.sql.DataFrame) =
+      Ann.lloydRound(emb, seeds)
+        .select(col("cid"), col("n"),
+          transform(col("c"), x => round(x, 9)).as("c9"))
+        .as[(Int, Long, Seq[Double])].collect().sortBy(_._1).toSeq
+    // null rows must change NOTHING: not the per-cell counts (they are not
+    // assigned) and not the means (they are not averaged in)
+    assert(rounded(embNulls) == rounded(embClean))
+    // seeding over the null-bearing corpus ignores them too (no NPE, same seeds)
+    assert(Ann.ivfSeeds(embNulls, k = 4).as[(Int, Seq[Double])].collect().toSet ==
+      seeds.as[(Int, Seq[Double])].collect().toSet)
+  }
+
   test("lsh ANN per-bucket cap bounds candidates; hot-bucket query still probes") {
     val hot = (0L until 80L)
       .map(i => (i, Array.fill(8)(1.0f + 0.001f * i))).toDF("vec_id", "embedding")
