@@ -312,33 +312,83 @@ object Bench {
     // re-running until BOTH levels have a clean run in THIS invocation
     // (and the resulting efficiency is in-band) or the wall budget is
     // exhausted.
-    val maxAttempts = math.max(1, sys.env.get("GRAFT_BENCH_ATTEMPTS").map(_.toInt).getOrElse(6))
-    val cooldownMs = sys.env.get("GRAFT_BENCH_COOLDOWN_MS").map(_.toLong).getOrElse(240000L)
+    // Attempt/budget knobs: defaults sized so an invocation landing in bad
+    // weather EXTENDS its search for a clean window (round 3's driver run
+    // exhausted 4 attempts in ~40 min without seeing one clean 8-thread
+    // window) — 8 attempts, 45-min wall budget, and an ESCALATING cooldown
+    // ladder (base × 1.5 per retry, capped at 10 min) so the hypervisor's
+    // burst budget gets progressively longer refill windows.
+    val maxAttempts = math.max(1, sys.env.get("GRAFT_BENCH_ATTEMPTS").map(_.toInt).getOrElse(8))
+    val cooldownMs = sys.env.get("GRAFT_BENCH_COOLDOWN_MS").map(_.toLong).getOrElse(180000L)
+    def cooldownFor(attempt: Int): Long =
+      math.min(600000L, (cooldownMs * math.pow(1.5, (attempt - 1).toDouble)).toLong)
     // wall-clock budget for the whole retry loop: inside a long throttled
     // window, retries are better abandoned than timing out the caller —
     // the JSON then carries clean_pair_this_run=false + best observed
-    val budgetMs = sys.env.get("GRAFT_BENCH_BUDGET_MS").map(_.toLong).getOrElse(2100000L)
+    val budgetMs = sys.env.get("GRAFT_BENCH_BUDGET_MS").map(_.toLong).getOrElse(2700000L)
     val loopT0 = System.currentTimeMillis()
     val runsLo = scala.collection.mutable.ArrayBuffer.empty[RunResult]
     val runsHi = scala.collection.mutable.ArrayBuffer.empty[RunResult]
     def globalMinCpu: Double = (runsLo ++ runsHi).map(_.cpuS).min
-    // Clean-run CPU ceiling per level, anchored on the global min (in
-    // practice the lowest level's clean cost). CLEAN executor-CPU inflates
-    // with thread count on this single socket — measured ~1.35× at 8 vs 2
-    // threads (five consecutive 8-thread runs clustered at 284-305 CPU·s
-    // against 211 at 2 threads, run_s≈cpu_s and tiny GC, i.e. contention,
-    // not a throttle window) and 1.5-1.8× at 16 vs 4 — so the multiplier
-    // is a level schedule with modest headroom above each measured band.
-    // The headroom must stay TIGHT: a 2.2× ceiling at 16 threads admitted
-    // ~2× mildly-throttled runs as "clean" and a whole invocation settled
-    // at eff 0.47 labeled clean while bare-thread probes read 1.00 (the
-    // 2026-08-16 4,16 ledger row); real throttle windows inflate 8-14×,
-    // mild ones ~2×, clean contention ≤1.8×.
+    // Clean-run CPU ceiling schedule over the base (lowest-level) cost.
+    // CLEAN executor-CPU inflates with thread count on this single socket —
+    // measured ~1.35× at 8 vs 2 threads (five consecutive 8-thread runs
+    // clustered at 284-305 CPU·s against 211 at 2 threads, run_s≈cpu_s and
+    // tiny GC, i.e. contention, not a throttle window) and 1.5-1.8× at 16
+    // vs 4 — so the multiplier is a level schedule with modest headroom
+    // above each measured band. The headroom must stay TIGHT: a 2.2×
+    // ceiling at 16 threads admitted ~2× mildly-throttled runs as "clean"
+    // and a whole invocation settled at eff 0.47 labeled clean while
+    // bare-thread probes read 1.00 (the 2026-08-16 4,16 ledger row); real
+    // throttle windows inflate 8-14×, mild ones ~2×, clean contention ≤1.8×.
     def cleanMult(level: Int): Double =
       if (level > 16) 2.3 else if (level > 8) 1.9
       else if (level > 4) 1.6 else 1.35
+    // PER-LEVEL floors (round-3 ADVICE): the global-min anchor assumes the
+    // min CPU came from a clean LOWEST-level run. Two failure modes when it
+    // didn't: (1) only high-level runs clean → their contention-inflated
+    // CPU anchors the low level's ceiling ~1.8× too high, admitting mildly
+    // throttled low runs; (2) a mildly degraded low-level run IS the min →
+    // it passes as clean and flatters eff (the round-3 0.907 caveat: its
+    // local[2] CPU was 375 vs the 324 clean best). Fix: each level's
+    // ceiling is the TIGHTER of (a) the schedule over the global min and
+    // (b) PerLevelSlack × the min CPU observed AT THAT LEVEL — across this
+    // invocation's runs and bench_history.jsonl rows of the SAME corpus
+    // and level pair (rows carry per-level CPU from sched≥2 onward). Slack
+    // 1.3: same-level clean runs cluster within ~1.07× in one session and
+    // ~1.16× across a session's invocations; mild throttle is ~2×.
+    val PerLevelSlack = 1.3
+    val CurrentSched = 2
+    val histPath = Paths.get("/root/repo/bench_history.jsonl")
+    def histLines: Seq[String] =
+      if (!Files.exists(histPath)) Seq.empty
+      else scala.jdk.CollectionConverters.IteratorHasAsScala(
+        Files.readAllLines(histPath).iterator).asScala.toSeq
+    val histFloor: Map[Int, Double] = {
+      def field(l: String, k: String): Option[Double] =
+        s""""$k":([0-9.]+)""".r.findFirstMatchIn(l).map(_.group(1).toDouble)
+      val rows = histLines.filter { l =>
+        l.contains(s""""n_docs":$nDocs""") && l.contains(s""""lvl":"$loLvl,$hiLvl"""") &&
+          l.contains(""""clean_pair":true""") &&
+          field(l, "sched").exists(_ >= CurrentSched)
+      }
+      Seq(loLvl -> rows.flatMap(field(_, "cpu_n")), hiLvl -> rows.flatMap(field(_, "cpu_4n")))
+        .collect { case (lvl, cs) if cs.nonEmpty => lvl -> cs.min }.toMap
+    }
+    if (histFloor.nonEmpty)
+      System.err.println(s"FLOORS historical per-level clean CPU: " +
+        histFloor.toSeq.sorted.map { case (l, c) => f"local[$l]=$c%.0f" }.mkString(" "))
+    def perLevelMin(level: Int): Option[Double] = {
+      val cur = (if (level == loLvl) runsLo else runsHi).map(_.cpuS)
+      val all = cur ++ histFloor.get(level)
+      if (all.isEmpty) None else Some(all.min)
+    }
+    def ceiling(level: Int): Double = {
+      val cross = cleanMult(level) * globalMinCpu
+      perLevelMin(level).fold(cross)(f => math.min(cross, PerLevelSlack * f))
+    }
     def isClean(r: RunResult, level: Int): Boolean =
-      r.cpuS <= cleanMult(level) * globalMinCpu
+      r.cpuS <= ceiling(level)
     def cleanOf(rs: Seq[RunResult], level: Int): Option[RunResult] = {
       val clean = rs.filter(isClean(_, level))
       if (clean.isEmpty) None else Some(clean.minBy(_.wall))
@@ -359,10 +409,11 @@ object Bench {
           ((System.currentTimeMillis() - loopT0) < budgetMs &&
             (effSoFar < 0.8 || effSoFar > 1.02)))) {
       if (attempt > 0) {
-        System.err.println(s"COOLDOWN ${cooldownMs}ms (eff so far: $effSoFar, " +
+        val cd = cooldownFor(attempt)
+        System.err.println(s"COOLDOWN ${cd}ms (eff so far: $effSoFar, " +
           s"clean lo=${runsLo.count(isClean(_, loLvl))}/${runsLo.size} " +
           s"hi=${runsHi.count(isClean(_, hiLvl))}/${runsHi.size})")
-        Thread.sleep(cooldownMs)
+        Thread.sleep(cd)
       }
       // host-capacity probe: both levels back-to-back (seconds apart, so one
       // weather window), 16-probe repeated around the 4-probe; clamped to
@@ -388,9 +439,16 @@ object Bench {
       attempt += 1
     }
     Seq((loLvl, runsLo), (hiLvl, runsHi)).foreach { case (lvl, rs) =>
-      if (!rs.exists(isClean(_, lvl)))
+      if (!rs.exists(isClean(_, lvl))) {
+        val histBound = histFloor.get(lvl).exists(f =>
+          PerLevelSlack * f < cleanMult(lvl) * globalMinCpu &&
+            rs.exists(_.cpuS <= cleanMult(lvl) * globalMinCpu))
         System.err.println(s"WARN level local[$lvl] has ZERO clean runs " +
-          s"after $attempt attempt(s) — reporting its lowest-CPU run, flagged")
+          f"after $attempt attempt(s) (ceiling ${ceiling(lvl)}%.0f CPU·s" +
+          (if (histBound) ", bound by the HISTORICAL per-level floor — " +
+            "this window is degraded relative to past clean sessions" else "") +
+          ") — reporting its lowest-CPU run, flagged")
+      }
     }
     val bestN = bestOf(runsLo.toSeq, loLvl)
     val best4N = bestOf(runsHi.toSeq, hiLvl)
@@ -425,44 +483,60 @@ object Bench {
     // append to the run history; BENCH.md reports latest AND best observed.
     // Keys are level-neutral (t_n / t_4n — the actual levels are in "lvl");
     // legacy rows used t4/t16 keys regardless of the pair, so the parser
-    // accepts both spellings.
-    val histPath = Paths.get("/root/repo/bench_history.jsonl")
-    val histLine = f"""{"t_n":$tN%.3f,"t_4n":$t4N%.3f,"eff":$eff%.3f,"host":$hostEff%.3f,"kernel":$kernelEff%.3f,"n":$nN,"n_docs":$nDocs,"lvl":"$loLvl,$hiLvl","clean_pair":$cleanPair}"""
+    // accepts both spellings. sched≥2 rows also carry the selected runs'
+    // executor CPU per level — the per-level floor anchor for later
+    // invocations.
+    val histLine = f"""{"t_n":$tN%.3f,"t_4n":$t4N%.3f,"eff":$eff%.3f,"host":$hostEff%.3f,"kernel":$kernelEff%.3f,"n":$nN,"n_docs":$nDocs,"lvl":"$loLvl,$hiLvl","clean_pair":$cleanPair,"cpu_n":${bestN.cpuS}%.1f,"cpu_4n":${best4N.cpuS}%.1f,"sched":$CurrentSched}"""
     Files.writeString(histPath, histLine + "\n",
       java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.APPEND)
-    val bestLine = scala.jdk.CollectionConverters.IteratorHasAsScala(
-      Files.readAllLines(histPath).iterator).asScala
+    val cleanRows = histLines
       .flatMap { l =>
         val m = """"(?:t16|t_4n)":([0-9.]+).*?"eff":([0-9.]+).*"n_docs":([0-9]+)""".r
           .findFirstMatchIn(l)
         val lvl = """"lvl":"([0-9,]+)"""".r.findFirstMatchIn(l)
           .map(_.group(1)).getOrElse("4,16") // pre-levels history rows ran 4,16
         // rows that record a non-clean pair must not pollute best-observed
-        // (a throttled lo-level wall inflates eff); rows predating the flag
-        // were selected under the old clean filter — keep them
+        // (a throttled lo-level wall inflates eff)
         val clean = !l.contains(""""clean_pair":false""")
-        m.map(x => (x.group(1).toDouble, x.group(2).toDouble, x.group(3).toLong, lvl, clean))
+        val sched = l.contains(""""sched":""")
+        m.map(x => (x.group(1).toDouble, x.group(2).toDouble, x.group(3).toLong,
+          lvl, clean, sched))
       }
       // same corpus size AND levels only, clean pairs only, and eff > 1 is
       // physically impossible for this pipeline — it means the N-level run
-      // hit a host-throttling window; exclude such artifacts
-      .filter(r => r._3 == nDocs && r._2 <= 1.0 && r._4 == s"$loLvl,$hiLvl" && r._5)
-      .map(r => (r._1, r._2)).toSeq
-    // no clean observation for this (corpus, levels) yet → only the current
-    // run may stand in, and only if ITS pair is clean AND in-band (the
-    // current row is appended above before bestLine parses the file, so
-    // this fallback fires only for eff > 1.0 — which the filter itself
-    // brands a throttled-N artifact); 0.0 = none yet
+      // hit a host-throttling window; exclude such artifacts. LEGACY rows
+      // (no sched field) are re-filtered under the current ceiling
+      // schedule as far as their data allows: rows whose upper level is
+      // ≤8 threads were selected under ceilings that never changed
+      // (1.35×/1.6×) and stand; rows with an upper level >8 were admitted
+      // under the since-discredited 2.2× ceiling (which let ~2× mildly
+      // throttled windows through — the 4,16 eff-0.470 row) and are
+      // excluded from best-observed unless re-measured under sched≥2.
+      .filter { case (_, e, nd, lvl, clean, sched) =>
+        nd == nDocs && e <= 1.0 && lvl == s"$loLvl,$hiLvl" && clean &&
+          (sched || lvl.split(",")(1).toInt <= 8)
+      }
+      .map(r => (r._1, r._2))
+    // Best-observed is the MEDIAN of clean pairs (round-3 ADVICE: the max
+    // is one-sided — a degraded-but-in-ceiling N-side flatters a single
+    // pair upward, and picking the max selects exactly those; the median
+    // of {0.861, 0.854, 0.907} reports 0.861). The max is still reported
+    // alongside, labeled as such. No clean observation yet → the current
+    // run stands in only if ITS pair is clean and in-band.
+    val cleanEffs = cleanRows.map(_._2).sorted
     val bestEff =
-      if (bestLine.nonEmpty) bestLine.map(_._2).max
+      if (cleanEffs.nonEmpty) cleanEffs((cleanEffs.size - 1) / 2)
+      else if (cleanPair && eff <= 1.0) eff else 0.0
+    val maxEff =
+      if (cleanEffs.nonEmpty) cleanEffs.last
       else if (cleanPair && eff <= 1.0) eff else 0.0
     val bestT16 =
-      if (bestLine.nonEmpty) bestLine.map(_._1).min
+      if (cleanRows.nonEmpty) cleanRows.map(_._1).min
       else if (cleanPair && eff <= 1.0) t4N else Double.PositiveInfinity
 
     val qs = f"""{"pipeline_local$loLvl":$tN%.3f,"pipeline_local$hiLvl":$t4N%.3f}"""
     println(
-      f"""{"metric":"triples_per_sec_local$hiLvl","value":$tput4N%.1f,"unit":"triples/sec","queries":$qs,"sf":"$sfDir","n_docs":$nDocs,"n_triples":$nN,"levels":"$loLvl,$hiLvl","triples_per_sec_local$loLvl":$tputN%.1f,"triples_per_sec_local$hiLvl":$tput4N%.1f,"triples_per_sec_n":$tputN%.1f,"triples_per_sec_4n":$tput4N%.1f,"wall_n_sec":$tN%.2f,"wall_4n_sec":$t4N%.2f,"host_capacity_eff_n_to_4n":$hostEff%.3f,"kernel_capacity_eff_n_to_4n":$kernelEff%.3f,"scaling_efficiency":$eff%.3f,"clean_pair_this_run":$cleanPair,"scaling_efficiency_best_observed":$bestEff%.3f,"host_capacity_eff":$hostEff%.3f,"kernel_capacity_eff":$kernelEff%.3f,"scaling_efficiency_host_normalized":$normEff%.3f,"scaling_efficiency_kernel_normalized":$kernelNormEff%.3f,"wall_local${loLvl}_sec":$tN%.2f,"wall_local${hiLvl}_sec":$t4N%.2f,"phases_local$loLvl":${phasesJson(bestN.phases)},"phases_local$hiLvl":${phasesJson(best4N.phases)}}""")
+      f"""{"metric":"triples_per_sec_local$hiLvl","value":$tput4N%.1f,"unit":"triples/sec","queries":$qs,"sf":"$sfDir","n_docs":$nDocs,"n_triples":$nN,"levels":"$loLvl,$hiLvl","triples_per_sec_local$loLvl":$tputN%.1f,"triples_per_sec_local$hiLvl":$tput4N%.1f,"triples_per_sec_n":$tputN%.1f,"triples_per_sec_4n":$tput4N%.1f,"wall_n_sec":$tN%.2f,"wall_4n_sec":$t4N%.2f,"host_capacity_eff_n_to_4n":$hostEff%.3f,"kernel_capacity_eff_n_to_4n":$kernelEff%.3f,"scaling_efficiency":$eff%.3f,"clean_pair_this_run":$cleanPair,"scaling_efficiency_best_observed":$bestEff%.3f,"scaling_efficiency_best_observed_max":$maxEff%.3f,"n_clean_pairs_observed":${cleanEffs.size},"host_capacity_eff":$hostEff%.3f,"kernel_capacity_eff":$kernelEff%.3f,"scaling_efficiency_host_normalized":$normEff%.3f,"scaling_efficiency_kernel_normalized":$kernelNormEff%.3f,"wall_local${loLvl}_sec":$tN%.2f,"wall_local${hiLvl}_sec":$t4N%.2f,"phases_local$loLvl":${phasesJson(bestN.phases)},"phases_local$hiLvl":${phasesJson(best4N.phases)}}""")
 
     val md =
       f"""# BENCH — measured
@@ -488,21 +562,26 @@ object Bench {
          |Run selection: the host throttles in minute-scale windows —
          |executor CPU time for this deterministic, fixed-size job inflates
          |8-14× inside one (see ledger). A run is CLEAN iff its CPU time is
-         |within a level-dependent multiple of the minimum observed across
-         |all runs: 1.35× at ≤4 threads, 1.6× at 5-8, 1.9× at 9-16, 2.3×
-         |above 16 — clean runs legitimately carry memory-contention CPU
-         |inflation that grows with thread count on this single socket
-         |(measured ~1.35× at 8 vs 2 threads, 1.5-1.8× at 16 vs 4), and the
-         |ceilings sit just above each measured band so that ~2× mildly
-         |throttled windows are still rejected.
+         |under the TIGHTER of two ceilings: (a) a level-dependent multiple
+         |of the global minimum — 1.35× at ≤4 threads, 1.6× at 5-8, 1.9× at
+         |9-16, 2.3× above 16 (clean runs legitimately carry
+         |memory-contention CPU inflation that grows with thread count on
+         |this single socket: ~1.35× at 8 vs 2 threads, 1.5-1.8× at 16 vs 4;
+         |the ceilings sit just above each band so ~2× mildly throttled
+         |windows are rejected) — and (b) a PER-LEVEL floor: 1.3× the
+         |minimum CPU observed at that same level across this invocation and
+         |`bench_history.jsonl` rows of the same corpus and level pair. The
+         |per-level floor stops a degraded-but-global-min lower-level run
+         |from either flattering efficiency or re-anchoring the schedule.
          |The reported pair is the fastest clean run per level when one
          |exists; a level with zero clean runs falls back to its lowest-CPU
          |run and is flagged here. **This invocation's reported pair:
          |${if (cleanPair) "CLEAN at both levels" else
              "NOT clean (at least one level never saw a clean window)"}.**
-         |Retry attempts idle first so the hypervisor burst budget refills,
-         |and the loop re-runs until both levels have a clean run in this
-         |invocation or the wall budget is exhausted. All runs:
+         |Retry attempts idle first so the hypervisor burst budget refills
+         |(cooldowns escalate ×1.5 per retry), and the loop re-runs until
+         |both levels have a clean run in this invocation or the wall
+         |budget is exhausted. All runs:
          |
          || level | wall (s) | executor CPU (s) | filter |
          || --- | --- | --- | --- |
@@ -511,8 +590,10 @@ object Bench {
          |**Scaling efficiency (N→4N) = tput(4N) / (4·tput(N)) = $eff%.3f**
          |(target ≥ 0.8, BASELINE.json). The box's capacity drifts between
          |runs (see below), so `bench_history.jsonl` records every run:
-         |${if (bestEff > 0)
-             f"best observed efficiency **$bestEff%.3f** (clean pairs only), best local[$hiLvl] wall **$bestT16%.2f s** (${nN / bestT16}%.0f triples/sec)."
+         |${if (cleanEffs.nonEmpty)
+             f"**median of the ${cleanEffs.size} clean pairs at this corpus+levels: $bestEff%.3f** (max $maxEff%.3f — the median is the robust figure: the max one-sidedly selects pairs whose N-side ran slow-but-in-ceiling), best local[$hiLvl] wall **$bestT16%.2f s** (${nN / bestT16}%.0f triples/sec). Legacy rows at >8-thread pairs (admitted under the old 2.2× ceiling, e.g. the 4,16 eff-0.470 row) are excluded until re-measured under the current schedule."
+           else if (bestEff > 0)
+             f"first clean pair at this corpus size and level pair: **$bestEff%.3f** (this run)."
            else
              "no CLEAN pair observed yet at this corpus size and level pair (this invocation's pair was throttled)."}
          |
