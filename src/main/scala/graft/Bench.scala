@@ -330,51 +330,19 @@ object Bench {
     val runsLo = scala.collection.mutable.ArrayBuffer.empty[RunResult]
     val runsHi = scala.collection.mutable.ArrayBuffer.empty[RunResult]
     def globalMinCpu: Double = (runsLo ++ runsHi).map(_.cpuS).min
-    // Clean-run CPU ceiling schedule over the base (lowest-level) cost.
-    // CLEAN executor-CPU inflates with thread count on this single socket —
-    // measured ~1.35× at 8 vs 2 threads (five consecutive 8-thread runs
-    // clustered at 284-305 CPU·s against 211 at 2 threads, run_s≈cpu_s and
-    // tiny GC, i.e. contention, not a throttle window) and 1.5-1.8× at 16
-    // vs 4 — so the multiplier is a level schedule with modest headroom
-    // above each measured band. The headroom must stay TIGHT: a 2.2×
-    // ceiling at 16 threads admitted ~2× mildly-throttled runs as "clean"
-    // and a whole invocation settled at eff 0.47 labeled clean while
-    // bare-thread probes read 1.00 (the 2026-08-16 4,16 ledger row); real
-    // throttle windows inflate 8-14×, mild ones ~2×, clean contention ≤1.8×.
-    def cleanMult(level: Int): Double =
-      if (level > 16) 2.3 else if (level > 8) 1.9
-      else if (level > 4) 1.6 else 1.35
-    // PER-LEVEL floors (round-3 ADVICE): the global-min anchor assumes the
-    // min CPU came from a clean LOWEST-level run. Two failure modes when it
-    // didn't: (1) only high-level runs clean → their contention-inflated
-    // CPU anchors the low level's ceiling ~1.8× too high, admitting mildly
-    // throttled low runs; (2) a mildly degraded low-level run IS the min →
-    // it passes as clean and flatters eff (the round-3 0.907 caveat: its
-    // local[2] CPU was 375 vs the 324 clean best). Fix: each level's
-    // ceiling is the TIGHTER of (a) the schedule over the global min and
-    // (b) PerLevelSlack × the min CPU observed AT THAT LEVEL — across this
-    // invocation's runs and bench_history.jsonl rows of the SAME corpus
-    // and level pair (rows carry per-level CPU from sched≥2 onward). Slack
-    // 1.3: same-level clean runs cluster within ~1.07× in one session and
-    // ~1.16× across a session's invocations; mild throttle is ~2×.
-    val PerLevelSlack = 1.3
-    val CurrentSched = 2
+    // Clean classification lives in BenchSelect (pure, unit-tested): a
+    // level-dependent ceiling schedule over the global min CPU, tightened
+    // by PER-LEVEL floors — 1.3× the min CPU observed at that same level
+    // across this invocation and same-corpus same-pair ledger rows
+    // (sched≥2 rows persist per-level CPU exactly for this).
+    import BenchSelect.{CurrentSched, PerLevelSlack, cleanMult}
     val histPath = Paths.get("/root/repo/bench_history.jsonl")
     def histLines: Seq[String] =
       if (!Files.exists(histPath)) Seq.empty
       else scala.jdk.CollectionConverters.IteratorHasAsScala(
         Files.readAllLines(histPath).iterator).asScala.toSeq
-    val histFloor: Map[Int, Double] = {
-      def field(l: String, k: String): Option[Double] =
-        s""""$k":([0-9.]+)""".r.findFirstMatchIn(l).map(_.group(1).toDouble)
-      val rows = histLines.filter { l =>
-        l.contains(s""""n_docs":$nDocs""") && l.contains(s""""lvl":"$loLvl,$hiLvl"""") &&
-          l.contains(""""clean_pair":true""") &&
-          field(l, "sched").exists(_ >= CurrentSched)
-      }
-      Seq(loLvl -> rows.flatMap(field(_, "cpu_n")), hiLvl -> rows.flatMap(field(_, "cpu_4n")))
-        .collect { case (lvl, cs) if cs.nonEmpty => lvl -> cs.min }.toMap
-    }
+    val histFloor: Map[Int, Double] =
+      BenchSelect.historicalFloors(histLines, nDocs, loLvl, hiLvl)
     if (histFloor.nonEmpty)
       System.err.println(s"FLOORS historical per-level clean CPU: " +
         histFloor.toSeq.sorted.map { case (l, c) => f"local[$l]=$c%.0f" }.mkString(" "))
@@ -383,10 +351,8 @@ object Bench {
       val all = cur ++ histFloor.get(level)
       if (all.isEmpty) None else Some(all.min)
     }
-    def ceiling(level: Int): Double = {
-      val cross = cleanMult(level) * globalMinCpu
-      perLevelMin(level).fold(cross)(f => math.min(cross, PerLevelSlack * f))
-    }
+    def ceiling(level: Int): Double =
+      BenchSelect.ceiling(level, globalMinCpu, perLevelMin(level))
     def isClean(r: RunResult, level: Int): Boolean =
       r.cpuS <= ceiling(level)
     def cleanOf(rs: Seq[RunResult], level: Int): Option[RunResult] = {
@@ -489,44 +455,19 @@ object Bench {
     val histLine = f"""{"t_n":$tN%.3f,"t_4n":$t4N%.3f,"eff":$eff%.3f,"host":$hostEff%.3f,"kernel":$kernelEff%.3f,"n":$nN,"n_docs":$nDocs,"lvl":"$loLvl,$hiLvl","clean_pair":$cleanPair,"cpu_n":${bestN.cpuS}%.1f,"cpu_4n":${best4N.cpuS}%.1f,"sched":$CurrentSched}"""
     Files.writeString(histPath, histLine + "\n",
       java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.APPEND)
-    val cleanRows = histLines
-      .flatMap { l =>
-        val m = """"(?:t16|t_4n)":([0-9.]+).*?"eff":([0-9.]+).*"n_docs":([0-9]+)""".r
-          .findFirstMatchIn(l)
-        val lvl = """"lvl":"([0-9,]+)"""".r.findFirstMatchIn(l)
-          .map(_.group(1)).getOrElse("4,16") // pre-levels history rows ran 4,16
-        // rows that record a non-clean pair must not pollute best-observed
-        // (a throttled lo-level wall inflates eff)
-        val clean = !l.contains(""""clean_pair":false""")
-        val sched = l.contains(""""sched":""")
-        m.map(x => (x.group(1).toDouble, x.group(2).toDouble, x.group(3).toLong,
-          lvl, clean, sched))
-      }
-      // same corpus size AND levels only, clean pairs only, and eff > 1 is
-      // physically impossible for this pipeline — it means the N-level run
-      // hit a host-throttling window; exclude such artifacts. LEGACY rows
-      // (no sched field) are re-filtered under the current ceiling
-      // schedule as far as their data allows: rows whose upper level is
-      // ≤8 threads were selected under ceilings that never changed
-      // (1.35×/1.6×) and stand; rows with an upper level >8 were admitted
-      // under the since-discredited 2.2× ceiling (which let ~2× mildly
-      // throttled windows through — the 4,16 eff-0.470 row) and are
-      // excluded from best-observed unless re-measured under sched≥2.
-      .filter { case (_, e, nd, lvl, clean, sched) =>
-        nd == nDocs && e <= 1.0 && lvl == s"$loLvl,$hiLvl" && clean &&
-          (sched || lvl.split(",")(1).toInt <= 8)
-      }
-      .map(r => (r._1, r._2))
+    // Clean observations (BenchSelect.cleanPairs: clean-pair rows, in-band
+    // eff, legacy >8-thread-pair rows excluded until re-measured).
     // Best-observed is the MEDIAN of clean pairs (round-3 ADVICE: the max
     // is one-sided — a degraded-but-in-ceiling N-side flatters a single
     // pair upward, and picking the max selects exactly those; the median
     // of {0.861, 0.854, 0.907} reports 0.861). The max is still reported
     // alongside, labeled as such. No clean observation yet → the current
     // run stands in only if ITS pair is clean and in-band.
+    val cleanRows = BenchSelect.cleanPairs(histLines, nDocs, loLvl, hiLvl)
     val cleanEffs = cleanRows.map(_._2).sorted
     val bestEff =
-      if (cleanEffs.nonEmpty) cleanEffs((cleanEffs.size - 1) / 2)
-      else if (cleanPair && eff <= 1.0) eff else 0.0
+      BenchSelect.median(cleanEffs).getOrElse(
+        if (cleanPair && eff <= 1.0) eff else 0.0)
     val maxEff =
       if (cleanEffs.nonEmpty) cleanEffs.last
       else if (cleanPair && eff <= 1.0) eff else 0.0

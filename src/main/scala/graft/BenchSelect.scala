@@ -1,0 +1,100 @@
+package graft
+
+/** Pure selection logic for the bench harness, factored out of [[Bench]]'s
+  * main so the clean-run classification and ledger aggregation are
+  * unit-testable — these functions decide what the round artifact reports
+  * (round-3's judge flagged exactly this machinery, not any operator).
+  */
+object BenchSelect {
+
+  /** Clean-run CPU ceiling schedule over the base (lowest-level) cost.
+    * CLEAN executor-CPU inflates with thread count on this single socket —
+    * measured ~1.35× at 8 vs 2 threads (five consecutive 8-thread runs
+    * clustered at 284-305 CPU·s against 211 at 2 threads, run_s≈cpu_s and
+    * tiny GC, i.e. contention, not a throttle window) and 1.5-1.8× at 16
+    * vs 4 — so the multiplier is a level schedule with modest headroom
+    * above each measured band. The headroom must stay TIGHT: a 2.2×
+    * ceiling at 16 threads admitted ~2× mildly-throttled runs as "clean"
+    * and a whole invocation settled at eff 0.47 labeled clean while
+    * bare-thread probes read 1.00 (the 2026-08-16 4,16 ledger row); real
+    * throttle windows inflate 8-14×, mild ones ~2×, clean contention
+    * ≤1.8×. */
+  def cleanMult(level: Int): Double =
+    if (level > 16) 2.3 else if (level > 8) 1.9
+    else if (level > 4) 1.6 else 1.35
+
+  /** Within-level tolerance over a level's own observed minimum CPU:
+    * same-level clean runs cluster within ~1.07× in one session and
+    * ~1.16× across a session's invocations; mild throttle is ~2×. */
+  val PerLevelSlack = 1.3
+
+  /** Selection-schema version stamped into ledger rows. sched≥2 rows carry
+    * per-level CPU and were selected under the per-level floors. */
+  val CurrentSched = 2
+
+  private[graft] def jsonField(l: String, k: String): Option[Double] =
+    s""""$k":([0-9.]+)""".r.findFirstMatchIn(l).map(_.group(1).toDouble)
+
+  /** Historical per-level clean-CPU floors for (corpus, level pair): the
+    * min `cpu_n` / `cpu_4n` across sched≥[[CurrentSched]] clean-pair
+    * ledger rows of the SAME corpus size and level pair. Floors from a
+    * different corpus or pair never apply (the clean cost scales with
+    * both). */
+  def historicalFloors(lines: Seq[String], nDocs: Long,
+      loLvl: Int, hiLvl: Int): Map[Int, Double] = {
+    val rows = lines.filter { l =>
+      l.contains(s""""n_docs":$nDocs""") && l.contains(s""""lvl":"$loLvl,$hiLvl"""") &&
+        l.contains(""""clean_pair":true""") &&
+        jsonField(l, "sched").exists(_ >= CurrentSched)
+    }
+    Seq(loLvl -> rows.flatMap(jsonField(_, "cpu_n")),
+        hiLvl -> rows.flatMap(jsonField(_, "cpu_4n")))
+      .collect { case (lvl, cs) if cs.nonEmpty => lvl -> cs.min }.toMap
+  }
+
+  /** Clean ceiling for a level — the TIGHTER of (a) the cross-level
+    * schedule over the global min CPU and (b) [[PerLevelSlack]] × the min
+    * CPU observed AT THAT LEVEL (current invocation + historical floors).
+    * (a) alone assumes the global min came from a clean lowest-level run:
+    * when only high-level runs are clean, their contention-inflated CPU
+    * anchors the low level's ceiling ~1.8× too high; when a mildly
+    * degraded low-level run IS the min, it passes as clean and flatters
+    * eff (round-3's 0.907 pair: local[2] CPU 375 vs the 324 clean best).
+    * (b) pins each level to its own observed best. */
+  def ceiling(level: Int, globalMinCpu: Double, perLevelMin: Option[Double]): Double = {
+    val cross = cleanMult(level) * globalMinCpu
+    perLevelMin.fold(cross)(f => math.min(cross, PerLevelSlack * f))
+  }
+
+  /** Clean (t_4n, eff) observations for (corpus, level pair) from ledger
+    * lines: clean-pair rows only (legacy rows predate the flag and were
+    * selected under the then-current clean filter), efficiency in the
+    * physically possible band (eff > 1 means the N-side was throttled),
+    * and LEGACY rows (no sched field) only when the pair's upper level is
+    * ≤8 threads — the ≤8 ceilings (1.35×/1.6×) never changed, while >8
+    * rows were admitted under the since-discredited 2.2× ceiling (the
+    * 4,16 eff-0.470 row) and are excluded until re-measured under
+    * sched≥[[CurrentSched]]. */
+  def cleanPairs(lines: Seq[String], nDocs: Long,
+      loLvl: Int, hiLvl: Int): Seq[(Double, Double)] =
+    lines.flatMap { l =>
+      val m = """"(?:t16|t_4n)":([0-9.]+).*?"eff":([0-9.]+).*"n_docs":([0-9]+)""".r
+        .findFirstMatchIn(l)
+      val lvl = """"lvl":"([0-9,]+)"""".r.findFirstMatchIn(l)
+        .map(_.group(1)).getOrElse("4,16") // pre-levels history rows ran 4,16
+      val clean = !l.contains(""""clean_pair":false""")
+      val sched = l.contains(""""sched":""")
+      m.map(x => (x.group(1).toDouble, x.group(2).toDouble, x.group(3).toLong,
+        lvl, clean, sched))
+    }.filter { case (_, e, nd, lvl, clean, sched) =>
+      nd == nDocs && e <= 1.0 && lvl == s"$loLvl,$hiLvl" && clean &&
+        (sched || lvl.split(",")(1).toInt <= 8)
+    }.map(r => (r._1, r._2))
+
+  /** Lower median — conservative for even counts. The reported
+    * best-observed efficiency is the MEDIAN of clean pairs, not the max:
+    * the max one-sidedly selects exactly the pairs whose N-side ran
+    * slow-but-inside-the-ceiling. */
+  def median(xs: Seq[Double]): Option[Double] =
+    if (xs.isEmpty) None else Some(xs.sorted.apply((xs.size - 1) / 2))
+}
