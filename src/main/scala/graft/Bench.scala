@@ -538,6 +538,28 @@ object Bench {
            else
              "no CLEAN pair observed yet at this corpus size and level pair (this invocation's pair was throttled)."}
          |
+         |## Level-pair summary at this corpus (from the ledger)
+         |
+         |The contract allows any N→4N pair; every pair measured at this
+         |corpus size, each row the median/max over that pair's CLEAN
+         |ledger entries (legacy >8-thread-pair rows excluded, see above):
+         |
+         || pair | clean pairs | median eff | max eff |
+         || --- | --- | --- | --- |
+         |${
+           val pairs = histLines.flatMap(l =>
+             if (l.contains(s""""n_docs":$nDocs"""))
+               """"lvl":"([0-9]+),([0-9]+)"""".r.findFirstMatchIn(l)
+                 .map(m => (m.group(1).toInt, m.group(2).toInt))
+             else None).distinct.sorted
+           pairs.map { case (lo, hi) =>
+             val effs = BenchSelect.cleanPairs(histLines, nDocs, lo, hi).map(_._2)
+             val med = BenchSelect.median(effs).map(e => f"$e%.3f").getOrElse("—")
+             val mx = if (effs.nonEmpty) f"${effs.max}%.3f" else "—"
+             s"| $lo→$hi | ${effs.size} | $med | $mx |"
+           }.mkString("\n|")
+         }
+         |
          |## Per-phase wall time (best run at each level)
          |
          || phase | local[$loLvl] s | local[$hiLvl] s | speedup |
