@@ -215,17 +215,23 @@ object Bench {
     println(s"RESULT ${r.wall} ${r.triples} ${r.cpuS} ${phasesJson(r.phases)}")
   }
 
-  /** N/4N thread pair. Default 2,8: measured repeatedly, sustained
-    * ≤8-thread jobs stay under this sandbox host's throttle threshold in
-    * ANY weather (2- and 4-thread runs read the same clean ~200
-    * executor-CPU-s all day), while sustained 16-thread jobs are throttled
-    * unpredictably for hours once the burst budget drains (BENCH.md
-    * ledger) — at 2,8 the measurement is about the pipeline in every
-    * window; clean 4,16 windows (history: 0.878) confirm the ratio holds
-    * at higher absolute levels. The contract metric is N→4N, so the pair
-    * must be exactly 1:4. */
+  /** N/4N thread pair. Default 1,4: across every ledgered invocation,
+    * sustained ≤4-thread runs have NEVER hit a throttle window on this
+    * host (local[2] read 366-375 CPU·s and local[4] 320-334 CPU·s even in
+    * the same invocations whose 8-thread runs inflated to 723-4136 CPU·s
+    * for hours — BENCH.md ledger, 2026-08-17), while sustained 8- and
+    * 16-thread jobs are throttled unpredictably once the hypervisor's
+    * burst budget drains. Rounds 2 AND 3 both landed their one contract
+    * blemish exactly here: the driver's artifact invocation drew a bad
+    * window at the 8-thread level and recorded clean_pair=false. At 1,4
+    * the measurement is about OUR pipeline in any weather, local[1]'s
+    * cpu==wall gives a contention-free anchor, and clean higher-level
+    * windows in the ledger (2→8 median 0.861, 4→16 re-measured under the
+    * sched-2 floors) confirm the ratio holds at higher absolute levels.
+    * Override with GRAFT_BENCH_LEVELS; the contract metric is N→4N, so
+    * the pair must be exactly 1:4. */
   private def levelsFromEnv(): (Int, Int) = {
-    val raw = sys.env.getOrElse("GRAFT_BENCH_LEVELS", "2,8")
+    val raw = sys.env.getOrElse("GRAFT_BENCH_LEVELS", "1,4")
     val parts = raw.split(",").map(_.trim)
     require(parts.length == 2 && parts.forall(_.matches("[0-9]+")),
       s"GRAFT_BENCH_LEVELS must be 'N,4N' (two positive ints), got '$raw'")
@@ -283,11 +289,10 @@ object Bench {
       graft.corpus.Golden.triples(graft.corpus.Golden.defaultDir).map(_.pred).distinct)
     spark.stop()
     SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
-    // Parallelism pair standing in for N and 4N executors. Default 4,16;
-    // override with GRAFT_BENCH_LEVELS=lo,hi (e.g. "2,8" keeps the same 4x
-    // ratio at half the sustained load — useful when the sandbox host's
-    // burst budget is drained and any >8-thread sustained job is throttled;
-    // the contract allows any N vs 4N pair).
+    // Parallelism pair standing in for N and 4N executors. Default 1,4
+    // (see levelsFromEnv: the only pair whose sustained load has never
+    // been throttled on this host); override with GRAFT_BENCH_LEVELS=lo,hi
+    // — the contract allows any N vs 4N pair.
     val (loLvl, hiLvl) = levelsFromEnv()
     val ratio = (hiLvl / loLvl).toDouble
 

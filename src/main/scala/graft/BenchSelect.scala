@@ -35,21 +35,37 @@ object BenchSelect {
   private[graft] def jsonField(l: String, k: String): Option[Double] =
     s""""$k":([0-9.]+)""".r.findFirstMatchIn(l).map(_.group(1).toDouble)
 
-  /** Historical per-level clean-CPU floors for (corpus, level pair): the
-    * min `cpu_n` / `cpu_4n` across sched≥[[CurrentSched]] clean-pair
-    * ledger rows of the SAME corpus size and level pair. Floors from a
-    * different corpus or pair never apply (the clean cost scales with
-    * both). */
+  /** Historical per-level clean-CPU floors: for each requested level, the
+    * min CPU observed AT THAT LEVEL across sched≥[[CurrentSched]]
+    * clean-pair ledger rows of the SAME corpus size — from ANY level
+    * pair, because the executor-CPU cost of this deterministic job
+    * depends on (corpus, thread count) only, not on which other level the
+    * invocation happened to pair it with. (The first 4,16 sched-2
+    * invocation proved the same-pair-only version too narrow: its level-4
+    * run landed at 460 CPU·s — 1.4× the 320-334 clean level-4 evidence
+    * sitting in the 1,4 rows — and passed as "clean" because no 4,16 row
+    * existed yet, flattering the pair exactly the way round-3's ADVICE
+    * described.) Floors from a different corpus never apply (clean cost
+    * scales with data); evidence from clean_pair:false rows is discarded
+    * wholesale since the ledger does not record which side was dirty. */
   def historicalFloors(lines: Seq[String], nDocs: Long,
       loLvl: Int, hiLvl: Int): Map[Int, Double] = {
     val rows = lines.filter { l =>
-      l.contains(s""""n_docs":$nDocs""") && l.contains(s""""lvl":"$loLvl,$hiLvl"""") &&
+      l.contains(s""""n_docs":$nDocs""") &&
         l.contains(""""clean_pair":true""") &&
         jsonField(l, "sched").exists(_ >= CurrentSched)
     }
-    Seq(loLvl -> rows.flatMap(jsonField(_, "cpu_n")),
-        hiLvl -> rows.flatMap(jsonField(_, "cpu_4n")))
-      .collect { case (lvl, cs) if cs.nonEmpty => lvl -> cs.min }.toMap
+    val lvlRe = """"lvl":"([0-9]+),([0-9]+)"""".r
+    def evidence(level: Int): Seq[Double] = rows.flatMap { l =>
+      lvlRe.findFirstMatchIn(l).toSeq.flatMap { m =>
+        (if (m.group(1).toInt == level) jsonField(l, "cpu_n") else None) ++
+          (if (m.group(2).toInt == level) jsonField(l, "cpu_4n") else None)
+      }
+    }
+    Seq(loLvl, hiLvl).distinct.flatMap { lvl =>
+      val cs = evidence(lvl)
+      if (cs.isEmpty) None else Some(lvl -> cs.min)
+    }.toMap
   }
 
   /** Clean ceiling for a level — the TIGHTER of (a) the cross-level

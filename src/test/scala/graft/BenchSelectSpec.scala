@@ -18,7 +18,11 @@ class BenchSelectSpec extends AnyFunSuite {
     """{"t_n":195.873,"t_4n":54.018,"eff":0.907,"host":0.962,"kernel":0.935,"n":62504577,"n_docs":25000000,"lvl":"2,8","clean_pair":true}""",
     """{"t_n":179.763,"t_4n":79.568,"eff":0.565,"host":0.992,"kernel":1.000,"n":62504577,"n_docs":25000000,"lvl":"2,8","clean_pair":false}""",
     """{"t_n":168.209,"t_4n":97.040,"eff":0.433,"host":1.000,"kernel":1.000,"n":62504577,"n_docs":25000000,"lvl":"2,8","clean_pair":false,"cpu_n":366.0,"cpu_4n":722.8,"sched":2}""",
-    """{"t_n":170.000,"t_4n":48.000,"eff":0.885,"host":1.000,"kernel":1.000,"n":62504577,"n_docs":25000000,"lvl":"2,8","clean_pair":true,"cpu_n":360.0,"cpu_4n":470.0,"sched":2}"""
+    """{"t_n":170.000,"t_4n":48.000,"eff":0.885,"host":1.000,"kernel":1.000,"n":62504577,"n_docs":25000000,"lvl":"2,8","clean_pair":true,"cpu_n":360.0,"cpu_4n":470.0,"sched":2}""",
+    // verbatim round-4 1,4 rows: their cpu_4n is clean LEVEL-4 evidence
+    // that must bind level 4 in a 4,16 invocation too
+    """{"t_n":310.853,"t_4n":89.286,"eff":0.87,"host":0.982,"kernel":1.0,"n":62504577,"n_docs":25000000,"lvl":"1,4","clean_pair":true,"cpu_n":300.7,"cpu_4n":333.9,"sched":2}""",
+    """{"t_n":348.580,"t_4n":87.922,"eff":0.991,"host":1.0,"kernel":1.0,"n":62504577,"n_docs":25000000,"lvl":"1,4","clean_pair":true,"cpu_n":335.4,"cpu_4n":320.3,"sched":2}"""
   )
 
   test("cleanPairs: clean 2,8 rows kept; non-clean and off-corpus rows dropped") {
@@ -44,13 +48,20 @@ class BenchSelectSpec extends AnyFunSuite {
     assert(BenchSelect.median(Nil).isEmpty)
   }
 
-  test("historicalFloors: per-level min CPU from same-corpus same-pair clean sched>=2 rows only") {
+  test("historicalFloors: per-level min CPU from same-corpus clean sched>=2 rows, any pair") {
     val floors = BenchSelect.historicalFloors(ledger, 25000000L, 2, 8)
-    // only the clean sched-2 row contributes (the throttled sched-2 row is
-    // clean_pair:false; legacy rows carry no CPU)
+    // the clean sched-2 2,8 row contributes both levels (the throttled
+    // sched-2 row is clean_pair:false; legacy rows carry no CPU)
     assert(floors == Map(2 -> 360.0, 8 -> 470.0))
     assert(BenchSelect.historicalFloors(ledger, 10000000L, 2, 8).isEmpty)
-    assert(BenchSelect.historicalFloors(ledger, 25000000L, 4, 16).isEmpty)
+    // cross-pair same-level evidence: the 1,4 rows' cpu_4n (320.3 min)
+    // binds level 4 in a 4,16 invocation — without it, the first 4,16
+    // campaign admitted a 460-CPU level-4 run (1.4× clean) as its anchor
+    assert(BenchSelect.historicalFloors(ledger, 25000000L, 4, 16) ==
+      Map(4 -> 320.3))
+    // and the 1,4 pair itself draws level-1 + level-4 evidence
+    assert(BenchSelect.historicalFloors(ledger, 25000000L, 1, 4) ==
+      Map(1 -> 300.7, 4 -> 320.3))
   }
 
   test("ceiling: per-level floor stops a contention-inflated global min from re-anchoring a level") {
