@@ -61,7 +61,7 @@ object Fixtures {
     val r = root(sfDir)
     // bump the suffix whenever fixture content changes so stale round-N
     // fixtures regenerate (deterministic, ~30s at sf0.01)
-    val ready = Paths.get(r, "_READY_v6")
+    val ready = Paths.get(r, "_READY_v7")
     if (Files.exists(ready)) return r
     import spark.implicits._
 
@@ -138,6 +138,19 @@ object Fixtures {
       .coalesce(1).write.mode("overwrite").parquet(s"$r/ivf_seeds")
     graft.sim.Ann.ivfTrainFrom(embT, spark.read.parquet(s"$r/ivf_seeds"), iters = 5)
       .coalesce(1).write.mode("overwrite").parquet(s"$r/ivf_centroids")
+
+    // media decode fixture: payloads the JDK's OWN codecs can read (real
+    // PNG/BMP/GIF/JPEG/WAV bytes) plus garbage rows, with expected features
+    // precomputed driver-side — q_media_decode then re-decodes the SAME
+    // bytes on executors and the DuckDB oracle replays these expecteds, so
+    // the driver's hash compare proves distributed decode parity
+    graft.media.MediaPayloads.table(66).map { case (id, bytes) =>
+      val (fmt, f) = graft.media.MediaCodec.decodeReal(bytes)
+        .getOrElse(("fallback", graft.media.MediaCodec.fallbackFeatures(id)))
+      (id, bytes, fmt, f(0), f(1), f(2), f(3), f(4), f(5), f(6), f(7))
+    }.toDF("media_id", "payload", "fmt",
+        "e0", "e1", "e2", "e3", "e4", "e5", "e6", "e7")
+      .coalesce(1).write.mode("overwrite").parquet(s"$r/media_codec")
 
     Files.writeString(ready, "ok")
     r

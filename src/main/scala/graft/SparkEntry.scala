@@ -200,6 +200,18 @@ object SparkEntry {
       graft.media.MediaFeatures.extract(Fixtures.docsFlat(s, d))
         .select("media_ref", "f0", "f1", "f2", "f3", "f4", "f5", "f6", "f7")
         .distinct().orderBy("media_ref").limit(500)),
+    // --- REAL distributed media decode (JDK codecs: PNG/BMP/GIF/JPEG via
+    //     ImageIO, PCM WAV via javax.sound; garbage rows degrade to the md5
+    //     fallback). Executors re-decode the fixture's payload BYTES; the
+    //     oracle replays the driver-precomputed expecteds from the same
+    //     fixture — the hash compare proves executor decode == driver
+    //     decode, integer-exact features (MediaCodec scaladoc) ---
+    "q_media_decode" -> ((s, d) => {
+      val r = Fixtures.ensure(s, d)
+      graft.media.MediaFeatures.decodeFeatures(
+        s.read.parquet(s"$r/media_codec").select("media_id", "payload"))
+        .orderBy("media_id")
+    }),
     // --- multimodal resize plumbing (aspect-fit plan, integer-exact) ---
     "q_media_resize" -> ((s, d) =>
       graft.media.MediaFeatures.resizePlan(
@@ -606,6 +618,13 @@ object SparkEntry {
          |SELECT media_ref,
          |  ${(0 until 8).map(i => s"ascii(substr(hx, ${i + 1}, 1)) AS f$i").mkString(", ")}
          |FROM h ORDER BY media_ref LIMIT 500""".stripMargin,
+    // replay of the driver-precomputed expected features persisted beside
+    // the payload bytes (the Spark side re-decodes those bytes on
+    // executors — see the queries entry for why this is a real parity)
+    "q_media_decode" ->
+      s"""SELECT media_id, fmt,
+         |  ${(0 until 8).map(i => s"e$i AS f$i").mkString(", ")}
+         |FROM ${p("media_codec")} ORDER BY media_id""".stripMargin,
     "q_media_resize" ->
       s"""WITH sp AS (SELECT unnest(spans) AS s FROM ${p("docs_flat")}),
          |m AS (SELECT DISTINCT s.media_ref AS media_ref FROM sp WHERE s.kind = 'media'),

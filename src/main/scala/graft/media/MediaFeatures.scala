@@ -7,21 +7,43 @@ import org.apache.spark.sql.functions._
   * (`media_ref`, optionally a `binary` payload column) with typed metadata;
   * decode / feature-extraction runs as a batched per-partition stage.
   *
-  * No image/audio codecs ship in this container, so [[decodeReal]] is a
-  * clearly-marked stub (`???`) defining the interface a real decoder would
-  * implement, while [[fakeFeatures]] derives a DETERMINISTIC 8-dim feature
-  * vector from the md5 of the reference — the Spark-side plumbing (schema,
-  * partitioning, column shapes, downstream joins) is real and tested, and
-  * the fake is engine-reproducible (pure SQL functions), so the stage has a
-  * DuckDB oracle like every other operator.
+  * The decode step is REAL for every format the JDK itself can read —
+  * [[MediaCodec]] drives `javax.imageio` (PNG/JPEG/BMP/GIF/WBMP) and
+  * `javax.sound.sampled` (PCM WAV/AU/AIFF) with integer-exact features,
+  * and [[decodeFeatures]] runs it distributed over a binary payload
+  * column (map-only `mapPartitions`, oracle q_media_decode). Formats with
+  * no JDK codec (mp4, webp, opus, …) fall back per row to the
+  * deterministic md5 stand-in, which also powers the payload-less
+  * metadata queries below ([[fakeFeatureCols]] — engine-reproducible pure
+  * SQL functions, so those stages keep DuckDB oracles too).
   */
 object MediaFeatures {
 
   val FeatureDim = 8
 
-  /** Interface for a real decoder: bytes → fixed-dim feature vector.
-    * Intentionally unimplemented in this sandbox (no codec libraries). */
-  def decodeReal(payload: Array[Byte]): Array[Float] = ???
+  /** Real decoder: bytes → (format, fixed-dim feature vector), None when
+    * no JDK codec accepts the payload. See [[MediaCodec.decodeReal]]. */
+  def decodeReal(payload: Array[Byte]): Option[(String, Array[Float])] =
+    MediaCodec.decodeReal(payload)
+
+  /** Distributed decode over (media_id, payload:binary): per-partition
+    * kernel, no shuffle; rows no JDK codec accepts degrade to the md5
+    * fallback (fmt = "fallback") instead of failing the stage. Output:
+    * (media_id, fmt, f0..f7). At 100 TB this is the pattern for opaque
+    * media columns: payload bytes never leave their scan partition, only
+    * the 8-float feature row flows downstream. */
+  def decodeFeatures(media: DataFrame): DataFrame = {
+    val s = media.sparkSession
+    import s.implicits._
+    media.select(col("media_id").cast("string"), col("payload"))
+      .as[(String, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        val (fmt, f) = MediaCodec.decodeReal(bytes)
+          .getOrElse(("fallback", MediaCodec.fallbackFeatures(id)))
+        (id, fmt, f(0), f(1), f(2), f(3), f(4), f(5), f(6), f(7))
+      })
+      .toDF("media_id", "fmt", "f0", "f1", "f2", "f3", "f4", "f5", "f6", "f7")
+  }
 
   /** Deterministic stand-in feature: ascii of hex digit i of md5(media_ref)
     * (integers → engine-exact oracle comparison; a real decoder would emit

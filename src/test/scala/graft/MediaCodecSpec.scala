@@ -1,0 +1,98 @@
+package graft
+
+import graft.media.{MediaCodec, MediaFeatures, MediaPayloads}
+import java.awt.image.BufferedImage
+import java.io.ByteArrayOutputStream
+import javax.imageio.ImageIO
+import org.apache.spark.sql.functions._
+
+/** Real JDK-codec decode: integer-exact feature math on known pixels,
+  * lossless-format agreement, WAV sample math, hostile-bytes fallback, and
+  * executor-side == SQL-side fallback parity (the invariant q_media_decode
+  * hash-checks at fixture scale). */
+class MediaCodecSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def encode(img: BufferedImage, fmt: String): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    assert(ImageIO.write(img, fmt, out), s"no JDK $fmt writer")
+    out.toByteArray
+  }
+
+  private def rgb(pixels: Seq[Seq[Int]]): BufferedImage = {
+    val img = new BufferedImage(pixels.head.size, pixels.size,
+      BufferedImage.TYPE_INT_RGB)
+    for (y <- pixels.indices; x <- pixels(y).indices)
+      img.setRGB(x, y, pixels(y)(x))
+    img
+  }
+
+  test("decodeImage: hand-computed integer features on known 2x2 pixels") {
+    // red green / blue white; lumas (299r+587g+114b)/1000 = 76,149,29,255
+    val img = rgb(Seq(Seq(0xff0000, 0x00ff00), Seq(0x0000ff, 0xffffff)))
+    val f = MediaCodec.decodeImage(encode(img, "png")).get
+    // sums: R=G=B=510, L=509, L2=76²+149²+29²+255²=93843, n=4, meanL=127
+    assert(f.toSeq == Seq[Float](2, 2, 127500, 127500, 127500, 127250,
+      93843 / 4 - 127 * 127, 1000))
+  }
+
+  test("decodeImage: PNG, BMP and GIF(<256 colors) agree bit-exactly; JPEG decodes with same dims") {
+    val img = rgb(Seq.tabulate(6)(y => Seq.tabulate(9)(x =>
+      (x * 37 + y * 11) % 0x1000000)))
+    val png = MediaCodec.decodeImage(encode(img, "png")).get
+    assert(MediaCodec.decodeImage(encode(img, "bmp")).get.toSeq == png.toSeq)
+    assert(MediaCodec.decodeImage(encode(img, "gif")).get.toSeq == png.toSeq)
+    val jpg = MediaCodec.decodeImage(encode(img, "jpg")).get
+    assert(jpg(0) == 9f && jpg(1) == 6f) // lossy pixels, exact container dims
+  }
+
+  test("decodeWav: hand-computed PCM16 features") {
+    val bytes = MediaPayloads.wavPcm16(Array[Short](100, -200, 300, 0, -100), 8000)
+    val f = MediaCodec.decodeWav(bytes).get
+    // meanAbs=700/5, maxAbs=300, sign runs + - + - => 3 crossings (0 skipped)
+    assert(f.toSeq == Seq[Float](8000, 1, 5, 16, 140, 300, 3, 0))
+    assert(MediaCodec.decodeReal(bytes).get._1 == "wav")
+  }
+
+  test("hostile bytes: garbage, empty and null all decode to None, never throw") {
+    assert(MediaCodec.decodeReal(Array[Byte](0, 0, 1, 2, 3)).isEmpty)
+    assert(MediaCodec.decodeReal(Array.emptyByteArray).isEmpty)
+    assert(MediaCodec.decodeReal(null).isEmpty)
+    // truncated PNG: magic number present, body cut — reader must fail clean
+    val png = encode(rgb(Seq(Seq(0x123456))), "png")
+    assert(MediaCodec.decodeReal(png.take(12)).isEmpty)
+  }
+
+  test("fallbackFeatures matches the SQL fakeFeatureCols expression exactly") {
+    val refs = Seq("vid-0001.mp4", "aud-77.opus", "", "日本語.webm")
+    val sql = refs.toDF("media_ref")
+      .select(Seq(col("media_ref")) ++
+        MediaFeatures.fakeFeatureCols(col("media_ref")): _*)
+      .as[(String, Int, Int, Int, Int, Int, Int, Int, Int)]
+      .collect().map(r => r._1 ->
+        Seq(r._2, r._3, r._4, r._5, r._6, r._7, r._8, r._9).map(_.toFloat)).toMap
+    refs.foreach { r =>
+      assert(MediaCodec.fallbackFeatures(r).toSeq == sql(r), r)
+    }
+  }
+
+  test("decodeFeatures stage: mixed corpus decodes distributed, hostile rows degrade per-row") {
+    val rows = MediaPayloads.table(12) // 2 full kind cycles
+    val out = MediaFeatures.decodeFeatures(rows.toDF("media_id", "payload"))
+      .collect().map(r => r.getString(0) ->
+        (r.getString(1), (2 to 9).map(r.getFloat))).toMap
+    assert(out.size == 12)
+    val byFmt = out.values.groupBy(_._1).view.mapValues(_.size).toMap
+    assert(byFmt == Map("img" -> 8, "wav" -> 2, "fallback" -> 2))
+    // fallback rows carry the md5 features of their id (never nulls/zeros)
+    out.collect { case (id, ("fallback", f)) =>
+      assert(f == MediaCodec.fallbackFeatures(id).toSeq, id)
+    }
+    // decode is deterministic across invocations (what the fixture
+    // expecteds + executor re-decode parity relies on)
+    val again = MediaFeatures.decodeFeatures(rows.toDF("media_id", "payload"))
+      .collect().map(r => r.getString(0) ->
+        (r.getString(1), (2 to 9).map(r.getFloat))).toMap
+    assert(again == out)
+  }
+}
