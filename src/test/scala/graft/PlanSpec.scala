@@ -54,6 +54,14 @@ class PlanSpec extends SparkSuite {
     assert(!p.toLowerCase.contains("batchevalpython") && !p.contains("ScalaUDF"), p.take(2000))
   }
 
+  test("media decode stage is map-only: no Exchange, no UDF wrapper in the plan") {
+    val rows = graft.media.MediaPayloads.table(6).toDF("media_id", "payload")
+    val p = plan(graft.media.MediaFeatures.decodeFeatures(rows))
+    assert(!p.contains("Exchange"), "payload bytes must not shuffle:\n" + p.take(2000))
+    assert(p.contains("MapPartitions"), p.take(2000))
+    assert(!p.contains("ScalaUDF"), p.take(2000))
+  }
+
   test("fused extract→link→pre-aggregate is ONE shuffle: broadcast-only joins, partial+final bounded aggregate") {
     val raw = Seq(
       RawTriple("d1", 0, "A", "P", "B", true, true, "", 1.0),
