@@ -61,7 +61,7 @@ object Fixtures {
     val r = root(sfDir)
     // bump the suffix whenever fixture content changes so stale round-N
     // fixtures regenerate (deterministic, ~30s at sf0.01)
-    val ready = Paths.get(r, "_READY_v7")
+    val ready = Paths.get(r, "_READY_v8")
     if (Files.exists(ready)) return r
     import spark.implicits._
 
@@ -151,6 +151,23 @@ object Fixtures {
     }.toDF("media_id", "payload", "fmt",
         "e0", "e1", "e2", "e3", "e4", "e5", "e6", "e7")
       .coalesce(1).write.mode("overwrite").parquet(s"$r/media_codec")
+
+    // real-resize expecteds: driver runs the same decode→NN-resize→PNG→
+    // re-decode loop the executors run in q_media_resize_real
+    graft.media.MediaPayloads.table(66).map { case (id, bytes) =>
+      graft.media.MediaCodec.resizeImage(bytes, 640, 360) match {
+        case Some((w, h, ow, oh, png)) =>
+          val f = graft.media.MediaCodec.decodeImage(png).get
+          (id, "img", w, h, ow, oh, f(2), f(3), f(4), f(5), f(6), f(7))
+        case None =>
+          val (w, h) = graft.media.MediaCodec.fallbackDims(id)
+          val (ow, oh) = graft.media.MediaCodec.fitDims(w, h, 640, 360)
+          val f = graft.media.MediaCodec.fallbackFeatures(id)
+          (id, "plan", w, h, ow, oh, f(2), f(3), f(4), f(5), f(6), f(7))
+      }
+    }.toDF("media_id", "fmt", "in_w", "in_h", "out_w", "out_h",
+        "e2", "e3", "e4", "e5", "e6", "e7")
+      .coalesce(1).write.mode("overwrite").parquet(s"$r/media_resized")
 
     Files.writeString(ready, "ok")
     r

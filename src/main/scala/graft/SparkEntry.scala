@@ -212,6 +212,17 @@ object SparkEntry {
         s.read.parquet(s"$r/media_codec").select("media_id", "payload"))
         .orderBy("media_id")
     }),
+    // --- REAL pixel resize: executors decode → NN-resize (integer source
+    //     indexing) → PNG re-encode → re-decode features of the RESIZED
+    //     image; oracle replays driver-precomputed expecteds over the same
+    //     payload bytes (media_resized fixture) ---
+    "q_media_resize_real" -> ((s, d) => {
+      val r = Fixtures.ensure(s, d)
+      graft.media.MediaFeatures.resizeImages(
+        s.read.parquet(s"$r/media_codec").select("media_id", "payload"),
+        640, 360)
+        .orderBy("media_id")
+    }),
     // --- multimodal resize plumbing (aspect-fit plan, integer-exact) ---
     "q_media_resize" -> ((s, d) =>
       graft.media.MediaFeatures.resizePlan(
@@ -625,6 +636,11 @@ object SparkEntry {
       s"""SELECT media_id, fmt,
          |  ${(0 until 8).map(i => s"e$i AS f$i").mkString(", ")}
          |FROM ${p("media_codec")} ORDER BY media_id""".stripMargin,
+    // replay of driver-precomputed resize expecteds (see queries entry)
+    "q_media_resize_real" ->
+      s"""SELECT media_id, fmt, in_w, in_h, out_w, out_h,
+         |  ${(2 to 7).map(i => s"e$i AS r$i").mkString(", ")}
+         |FROM ${p("media_resized")} ORDER BY media_id""".stripMargin,
     "q_media_resize" ->
       s"""WITH sp AS (SELECT unnest(spans) AS s FROM ${p("docs_flat")}),
          |m AS (SELECT DISTINCT s.media_ref AS media_ref FROM sp WHERE s.kind = 'media'),

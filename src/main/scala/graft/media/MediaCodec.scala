@@ -128,9 +128,60 @@ object MediaCodec {
     * of md5(ref)) — the executor-side fallback must hash-match the SQL
     * column expression exactly, and a test pins the parity. */
   def fallbackFeatures(mediaRef: String): Array[Float] = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-    val hex = md.digest(mediaRef.getBytes("UTF-8"))
-      .map(b => f"$b%02x").mkString
-    Array.tabulate(FeatureDim)(i => hex.charAt(i).toInt.toFloat)
+    Array.tabulate(FeatureDim)(i => md5Hex(mediaRef).charAt(i).toInt.toFloat)
+  }
+
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+
+  /** Scalar twin of [[MediaFeatures.fakeIntrinsics]] (md5-derived fake
+    * (width, height) for payload-less refs) — parity-pinned by a test. */
+  def fallbackDims(mediaRef: String): (Int, Int) = {
+    val hex = md5Hex(mediaRef)
+    (Integer.parseInt(hex.substring(0, 4), 16) % 2048 + 256,
+      Integer.parseInt(hex.substring(4, 8), 16) % 1024 + 144)
+  }
+
+  /** Aspect-fit output dims with the SAME Long-floor semantics as
+    * [[MediaFeatures.resizePlan]]'s column expressions (width-bound iff
+    * w·maxH ≥ h·maxW; the other side floor-scales, min 1). */
+  def fitDims(w: Int, h: Int, maxW: Int, maxH: Int): (Int, Int) =
+    if (w.toLong * maxH >= h.toLong * maxW)
+      (maxW, math.max(1, (h.toLong * maxW / w).toInt))
+    else
+      (math.max(1, (w.toLong * maxH / h).toInt), maxH)
+
+  /** Real pixel resize for any JDK-decodable image: aspect-fit into
+    * (maxW, maxH) per [[fitDims]], nearest-neighbor sampling with pure
+    * integer source indexing (sx = x·w/outW Long floor — no Graphics2D
+    * filtering, so the output bytes are bit-deterministic on any JVM),
+    * re-encoded as PNG (lossless JDK writer).
+    * Returns (inW, inH, outW, outH, pngBytes). */
+  def resizeImage(payload: Array[Byte], maxW: Int, maxH: Int)
+      : Option[(Int, Int, Int, Int, Array[Byte])] = {
+    if (payload == null || payload.length == 0) return None
+    val img =
+      try ImageIO.read(new ByteArrayInputStream(payload))
+      catch { case _: Exception => null }
+    if (img == null || img.getWidth <= 0 || img.getHeight <= 0) return None
+    val (w, h) = (img.getWidth, img.getHeight)
+    val (ow, oh) = fitDims(w, h, maxW, maxH)
+    val out = new java.awt.image.BufferedImage(ow, oh,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < oh) {
+      val sy = (y.toLong * h / oh).toInt
+      var x = 0
+      while (x < ow) {
+        val sx = (x.toLong * w / ow).toInt
+        out.setRGB(x, y, img.getRGB(sx, sy) & 0xffffff)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    ImageIO.write(out, "png", bos)
+    Some((w, h, ow, oh, bos.toByteArray))
   }
 }

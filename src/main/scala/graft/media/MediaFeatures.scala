@@ -45,6 +45,41 @@ object MediaFeatures {
       .toDF("media_id", "fmt", "f0", "f1", "f2", "f3", "f4", "f5", "f6", "f7")
   }
 
+  /** Distributed REAL resize over (media_id, payload:binary): decodable
+    * images get actual nearest-neighbor pixel resizing (integer source
+    * indexing, PNG re-encode — [[MediaCodec.resizeImage]]) and the output
+    * row carries the re-decoded features of the RESIZED image, so the
+    * whole decode→resize→re-encode→decode loop is value-checked by the
+    * q_media_resize_real oracle. Non-decodable rows degrade to the md5
+    * resize PLAN (fake intrinsics through the same fitDims floor math)
+    * with fallback features — every row flows, nothing throws. Map-only;
+    * resized bytes stay in their partition, only dims + 8 features leave. */
+  def resizeImages(media: DataFrame, maxW: Int, maxH: Int): DataFrame = {
+    val s = media.sparkSession
+    import s.implicits._
+    media.select(col("media_id").cast("string"), col("payload"))
+      .as[(String, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        MediaCodec.resizeImage(bytes, maxW, maxH) match {
+          case Some((w, h, ow, oh, png)) =>
+            val f = MediaCodec.decodeImage(png).getOrElse(
+              sys.error(s"re-decode of own PNG failed for $id")) // unreachable
+            ("img", id, w, h, ow, oh,
+              f(2), f(3), f(4), f(5), f(6), f(7))
+          case None =>
+            val (w, h) = MediaCodec.fallbackDims(id)
+            val (ow, oh) = MediaCodec.fitDims(w, h, maxW, maxH)
+            val f = MediaCodec.fallbackFeatures(id)
+            ("plan", id, w, h, ow, oh,
+              f(2), f(3), f(4), f(5), f(6), f(7))
+        }
+      })
+      .toDF("fmt", "media_id", "in_w", "in_h", "out_w", "out_h",
+        "r2", "r3", "r4", "r5", "r6", "r7")
+      .select("media_id", "fmt", "in_w", "in_h", "out_w", "out_h",
+        "r2", "r3", "r4", "r5", "r6", "r7")
+  }
+
   /** Deterministic stand-in feature: ascii of hex digit i of md5(media_ref)
     * (integers → engine-exact oracle comparison; a real decoder would emit
     * floats through the same column shape). */

@@ -76,6 +76,57 @@ class MediaCodecSpec extends SparkSuite {
     }
   }
 
+  test("resizeImage: NN picks exact integer-indexed source pixels") {
+    // 4x2 distinct-color source into a 2x1 box → out = src(0,0), src(2,0)
+    val img = rgb(Seq(Seq(0x111111, 0x222222, 0x333333, 0x444444),
+      Seq(0x555555, 0x666666, 0x777777, 0x888888)))
+    val Some((w, h, ow, oh, png)) =
+      MediaCodec.resizeImage(encode(img, "png"), 2, 1)
+    assert((w, h, ow, oh) == (4, 2, 2, 1))
+    val out = ImageIO.read(new java.io.ByteArrayInputStream(png))
+    assert((out.getRGB(0, 0) & 0xffffff) == 0x111111)
+    assert((out.getRGB(1, 0) & 0xffffff) == 0x333333)
+  }
+
+  test("fitDims matches the resizePlan SQL floor semantics case-for-case") {
+    assert(MediaCodec.fitDims(1920, 1080, 640, 360) == (640, 360))
+    assert(MediaCodec.fitDims(100, 1000, 640, 360) == (36, 360))
+    assert(MediaCodec.fitDims(1, 10000, 640, 360) == (1, 360))
+    assert(MediaCodec.fitDims(10, 10, 640, 360) == (360, 360))
+    // and against the column expressions themselves
+    val plan = MediaFeatures.resizePlan(
+      Seq(("a", 1920, 1080, 0), ("b", 100, 1000, 0), ("c", 8, 6, 0))
+        .toDF("media_ref", "width", "height", "duration_ds"), 640, 360)
+      .select("media_ref", "out_w", "out_h")
+      .as[(String, Int, Int)].collect().map(t => t._1 -> (t._2, t._3)).toMap
+    assert(MediaCodec.fitDims(1920, 1080, 640, 360) == plan("a"))
+    assert(MediaCodec.fitDims(100, 1000, 640, 360) == plan("b"))
+    assert(MediaCodec.fitDims(8, 6, 640, 360) == plan("c")) // upscale path
+  }
+
+  test("fallbackDims matches the SQL fakeIntrinsics expression exactly") {
+    val refs = Seq("media://abc", "vid.mp4", "")
+    val sql = refs.toDF("media_ref")
+      .select(Seq(col("media_ref")) ++
+        MediaFeatures.fakeIntrinsics(col("media_ref")).take(2): _*)
+      .as[(String, Int, Int)].collect().map(t => t._1 -> (t._2, t._3)).toMap
+    refs.foreach(r => assert(MediaCodec.fallbackDims(r) == sql(r), r))
+  }
+
+  test("resizeImages stage: images really resized, non-images degrade to the md5 plan") {
+    val rows = MediaPayloads.table(12)
+    val out = MediaFeatures.resizeImages(rows.toDF("media_id", "payload"), 640, 360)
+      .collect().map(r => r.getString(0) ->
+        (r.getString(1), r.getInt(2), r.getInt(3), r.getInt(4), r.getInt(5))).toMap
+    assert(out.size == 12)
+    assert(out.values.count(_._1 == "img") == 8)
+    assert(out.values.count(_._1 == "plan") == 4) // 2 wav + 2 garbage
+    out.foreach { case (id, (fmt, w, h, ow, oh)) =>
+      assert((ow, oh) == MediaCodec.fitDims(w, h, 640, 360), id)
+      if (fmt == "plan") assert((w, h) == MediaCodec.fallbackDims(id), id)
+    }
+  }
+
   test("decodeFeatures stage: mixed corpus decodes distributed, hostile rows degrade per-row") {
     val rows = MediaPayloads.table(12) // 2 full kind cycles
     val out = MediaFeatures.decodeFeatures(rows.toDF("media_id", "payload"))
