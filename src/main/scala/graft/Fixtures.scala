@@ -61,7 +61,7 @@ object Fixtures {
     val r = root(sfDir)
     // bump the suffix whenever fixture content changes so stale round-N
     // fixtures regenerate (deterministic, ~30s at sf0.01)
-    val ready = Paths.get(r, "_READY_v8")
+    val ready = Paths.get(r, "_READY_v9")
     if (Files.exists(ready)) return r
     import spark.implicits._
 
@@ -168,6 +168,23 @@ object Fixtures {
     }.toDF("media_id", "fmt", "in_w", "in_h", "out_w", "out_h",
         "e2", "e3", "e4", "e5", "e6", "e7")
       .coalesce(1).write.mode("overwrite").parquet(s"$r/media_resized")
+
+    // real-frame-sample expecteds, same loop as q_frame_sample_real
+    graft.media.MediaPayloads.table(66).flatMap { case (id, bytes) =>
+      graft.media.MediaCodec.sampleFrames(bytes, 4) match {
+        case Some((n, samples)) => samples.map { case (i, src, f) =>
+          (id, "frames", n, i, src, f(2), f(3), f(4), f(5), f(6), f(7))
+        }
+        case None =>
+          val dur = graft.media.MediaCodec.fallbackDurationDs(id)
+          val f = graft.media.MediaCodec.fallbackFeatures(id)
+          (0 until 4).map(i =>
+            (id, "plan", 0, i, (i.toLong * dur / 4).toInt,
+              f(2), f(3), f(4), f(5), f(6), f(7)))
+      }
+    }.toDF("media_id", "fmt", "n_frames", "frame_idx", "src_pos",
+        "e2", "e3", "e4", "e5", "e6", "e7")
+      .coalesce(1).write.mode("overwrite").parquet(s"$r/media_frames")
 
     Files.writeString(ready, "ok")
     r

@@ -228,6 +228,16 @@ object SparkEntry {
       graft.media.MediaFeatures.resizePlan(
         graft.media.MediaFeatures.mediaTable(Fixtures.docsFlat(s, d)), 640, 360)
         .orderBy("media_ref").limit(500)),
+    // --- REAL frame sampling: animated GIFs yield per-frame features on
+    //     executors (k evenly spaced source frames); stills sample frame 0;
+    //     non-images degrade to the decisecond plan. Oracle replays the
+    //     driver-precomputed media_frames fixture ---
+    "q_frame_sample_real" -> ((s, d) => {
+      val r = Fixtures.ensure(s, d)
+      graft.media.MediaFeatures.frameSamplesReal(
+        s.read.parquet(s"$r/media_codec").select("media_id", "payload"), 4)
+        .orderBy("media_id", "frame_idx")
+    }),
     // --- multimodal frame-sample plumbing (k evenly spaced timestamps) ---
     "q_frame_sample" -> ((s, d) =>
       graft.media.MediaFeatures.frameSample(
@@ -657,6 +667,11 @@ object SparkEntry {
          |SELECT media_ref, width, height, out_w, out_h,
          |  CAST(out_w AS BIGINT) * out_h * 3 AS out_bytes
          |FROM r ORDER BY media_ref LIMIT 500""".stripMargin,
+    // replay of driver-precomputed frame-sample expecteds (queries entry)
+    "q_frame_sample_real" ->
+      s"""SELECT media_id, fmt, n_frames, frame_idx, src_pos,
+         |  ${(2 to 7).map(i => s"e$i AS r$i").mkString(", ")}
+         |FROM ${p("media_frames")} ORDER BY media_id, frame_idx""".stripMargin,
     "q_frame_sample" ->
       s"""WITH sp AS (SELECT unnest(spans) AS s FROM ${p("docs_flat")}),
          |m AS (SELECT DISTINCT s.media_ref AS media_ref FROM sp WHERE s.kind = 'media'),

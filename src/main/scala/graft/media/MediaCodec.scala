@@ -39,14 +39,20 @@ object MediaCodec {
       try ImageIO.read(new ByteArrayInputStream(payload))
       catch { case _: Exception => null }
     if (img == null) return None
+    if (img.getWidth <= 0 || img.getHeight <= 0) return None
+    Some(imageFeatures(img))
+  }
+
+  /** Channel/luma sums over `getRGB` (sRGB regardless of storage type),
+    * all Long floor arithmetic — see [[decodeImage]] for the layout. */
+  private def imageFeatures(img: java.awt.image.BufferedImage): Array[Float] = {
     val (w, h) = (img.getWidth, img.getHeight)
-    if (w <= 0 || h <= 0) return None
     var (sumR, sumG, sumB, sumL, sumL2) = (0L, 0L, 0L, 0L, 0L)
     var y = 0
     while (y < h) {
       var x = 0
       while (x < w) {
-        val rgb = img.getRGB(x, y) // sRGB regardless of storage type
+        val rgb = img.getRGB(x, y)
         val r = (rgb >> 16) & 0xff
         val g = (rgb >> 8) & 0xff
         val b = rgb & 0xff
@@ -58,12 +64,12 @@ object MediaCodec {
     }
     val n = w.toLong * h
     val meanL = sumL / n
-    Some(Array[Float](
+    Array[Float](
       w.toFloat, h.toFloat,
       (sumR * 1000L / n).toFloat, (sumG * 1000L / n).toFloat,
       (sumB * 1000L / n).toFloat, (sumL * 1000L / n).toFloat,
       (sumL2 / n - meanL * meanL).toFloat,
-      (w.toLong * 1000L / h).toFloat))
+      (w.toLong * 1000L / h).toFloat)
   }
 
   /** PCM audio (WAV/AU/AIFF via the JDK) → [rate, channels, frames, bits,
@@ -141,6 +147,42 @@ object MediaCodec {
     val hex = md5Hex(mediaRef)
     (Integer.parseInt(hex.substring(0, 4), 16) % 2048 + 256,
       Integer.parseInt(hex.substring(4, 8), 16) % 1024 + 144)
+  }
+
+  /** Scalar twin of [[MediaFeatures.fakeIntrinsics]]'s duration column
+    * (md5-derived deciseconds) — parity-pinned by a test. */
+  def fallbackDurationDs(mediaRef: String): Int =
+    Integer.parseInt(md5Hex(mediaRef).substring(8, 12), 16) % 3600 + 10
+
+  /** Real frame sampling for any JDK-decodable image: k evenly spaced
+    * source frames (src = i·n/k, the same Long-floor grid as
+    * [[MediaFeatures.frameSample]]'s timestamp math), each decoded to its
+    * integer-exact feature vector. Animated GIFs expose all frames via
+    * `ImageReader.getNumImages`; stills are a 1-frame sequence (every
+    * sample hits frame 0). Frames are the reader's raw rasters — full
+    * frames for JDK-written GIFs; delta-frame GIFs from foreign encoders
+    * yield the raw delta raster, which is still deterministic.
+    * Returns (nFrames, Seq((sampleIdx, srcFrame, features))). */
+  def sampleFrames(payload: Array[Byte], k: Int)
+      : Option[(Int, Seq[(Int, Int, Array[Float])])] = {
+    if (payload == null || payload.length == 0 || k <= 0) return None
+    val iis =
+      try ImageIO.createImageInputStream(new ByteArrayInputStream(payload))
+      catch { case _: Exception => return None }
+    val readers = ImageIO.getImageReaders(iis)
+    if (!readers.hasNext) { iis.close(); return None }
+    val reader = readers.next()
+    try {
+      reader.setInput(iis)
+      val n = reader.getNumImages(true)
+      if (n <= 0) return None
+      val samples = (0 until k).map { i =>
+        val src = (i.toLong * n / k).toInt
+        (i, src, imageFeatures(reader.read(src)))
+      }
+      Some((n, samples))
+    } catch { case _: Exception => None }
+    finally { reader.dispose(); iis.close() }
   }
 
   /** Aspect-fit output dims with the SAME Long-floor semantics as

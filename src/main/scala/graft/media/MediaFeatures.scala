@@ -80,6 +80,40 @@ object MediaFeatures {
         "r2", "r3", "r4", "r5", "r6", "r7")
   }
 
+  /** Distributed REAL frame sampling over (media_id, payload:binary): for
+    * any JDK-decodable image sequence (animated GIF exposes every frame;
+    * stills are a 1-frame sequence) emit k rows sampled on the same
+    * Long-floor grid as [[frameSample]] (src = i·n/k), each row carrying
+    * the integer-exact features of THAT frame ([[MediaCodec.sampleFrames]]).
+    * Non-decodable rows degrade to the decisecond PLAN (md5 duration
+    * through the same floor math, src_pos = ts_ds) with fallback features.
+    * Map-only; frames never leave their partition. */
+  def frameSamplesReal(media: DataFrame, k: Int): DataFrame = {
+    val s = media.sparkSession
+    import s.implicits._
+    media.select(col("media_id").cast("string"), col("payload"))
+      .as[(String, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        MediaCodec.sampleFrames(bytes, k) match {
+          case Some((n, samples)) =>
+            samples.map { case (i, src, f) =>
+              ("frames", id, n, i, src, f(2), f(3), f(4), f(5), f(6), f(7))
+            }
+          case None =>
+            val dur = MediaCodec.fallbackDurationDs(id)
+            val f = MediaCodec.fallbackFeatures(id)
+            (0 until k).map { i =>
+              ("plan", id, 0, i, (i.toLong * dur / k).toInt,
+                f(2), f(3), f(4), f(5), f(6), f(7))
+            }
+        }
+      })
+      .toDF("fmt", "media_id", "n_frames", "frame_idx", "src_pos",
+        "r2", "r3", "r4", "r5", "r6", "r7")
+      .select("media_id", "fmt", "n_frames", "frame_idx", "src_pos",
+        "r2", "r3", "r4", "r5", "r6", "r7")
+  }
+
   /** Deterministic stand-in feature: ascii of hex digit i of md5(media_ref)
     * (integers → engine-exact oracle comparison; a real decoder would emit
     * floats through the same column shape). */

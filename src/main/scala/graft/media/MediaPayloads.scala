@@ -64,6 +64,35 @@ object MediaPayloads {
     wavPcm16(samples, 8000 + 1000 * (id % 5).toInt)
   }
 
+  /** Animated GIF via the JDK writer's sequence API: 3-7 full-size frames
+    * of LCG pixels (≤256 distinct colors per frame at these sizes, so the
+    * GIF palette is lossless). */
+  private def animatedGif(id: Long): Array[Byte] = {
+    val g = new Lcg(id)
+    val w = 6 + (id % 5).toInt
+    val h = 5 + (id % 4).toInt
+    val frames = 3 + (id % 5).toInt
+    val writer = ImageIO.getImageWritersByFormatName("gif").next()
+    val bos = new ByteArrayOutputStream()
+    val ios = ImageIO.createImageOutputStream(bos)
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    var f = 0
+    while (f < frames) {
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) { img.setRGB(x, y, g.nextInt(1 << 24)); x += 1 }
+        y += 1
+      }
+      writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+      f += 1
+    }
+    writer.endWriteSequence(); ios.close(); writer.dispose()
+    bos.toByteArray
+  }
+
   private def garbage(id: Long): Array[Byte] = {
     val g = new Lcg(id)
     // leading zero bytes: no image/audio magic number starts with 0x00,
@@ -71,7 +100,7 @@ object MediaPayloads {
     Array.tabulate(96)(i => if (i < 8) 0.toByte else (g.next() & 0xff).toByte)
   }
 
-  val Kinds = Vector("png", "bmp", "gif", "jpg", "wav", "garbage")
+  val Kinds = Vector("png", "bmp", "gif", "jpg", "agif", "wav", "garbage")
 
   /** (media_id, payload) for ids 0 until n, cycling through [[Kinds]]. */
   def table(n: Int): Seq[(String, Array[Byte])] =
@@ -79,6 +108,7 @@ object MediaPayloads {
       val kind = Kinds(i % Kinds.size)
       val bytes = kind match {
         case "wav"     => wav(i.toLong)
+        case "agif"    => animatedGif(i.toLong)
         case "garbage" => garbage(i.toLong)
         case imgFmt    => encode(image(i.toLong), imgFmt)
       }

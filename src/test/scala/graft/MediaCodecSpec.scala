@@ -114,12 +114,12 @@ class MediaCodecSpec extends SparkSuite {
   }
 
   test("resizeImages stage: images really resized, non-images degrade to the md5 plan") {
-    val rows = MediaPayloads.table(12)
+    val rows = MediaPayloads.table(14) // 2 full kind cycles
     val out = MediaFeatures.resizeImages(rows.toDF("media_id", "payload"), 640, 360)
       .collect().map(r => r.getString(0) ->
         (r.getString(1), r.getInt(2), r.getInt(3), r.getInt(4), r.getInt(5))).toMap
-    assert(out.size == 12)
-    assert(out.values.count(_._1 == "img") == 8)
+    assert(out.size == 14)
+    assert(out.values.count(_._1 == "img") == 10) // incl. agif (frame 0)
     assert(out.values.count(_._1 == "plan") == 4) // 2 wav + 2 garbage
     out.foreach { case (id, (fmt, w, h, ow, oh)) =>
       assert((ow, oh) == MediaCodec.fitDims(w, h, 640, 360), id)
@@ -127,14 +127,59 @@ class MediaCodecSpec extends SparkSuite {
     }
   }
 
+  test("sampleFrames: animated GIF frames sampled on the i*n/k floor grid, per-frame features") {
+    // find an agif with n>=4 frames from the payload table
+    val (id, bytes) = MediaPayloads.table(28)
+      .filter(_._1.endsWith("-agif"))
+      .find(p => MediaCodec.sampleFrames(p._2, 1).exists(_._1 >= 4)).get
+    val Some((n, samples)) = MediaCodec.sampleFrames(bytes, 4)
+    assert(n >= 4 && samples.map(_._1) == Seq(0, 1, 2, 3))
+    assert(samples.map(_._2) == (0 until 4).map(i => (i.toLong * n / 4).toInt))
+    // distinct frames produce distinct features (LCG pixels), and frame 0's
+    // features equal the whole-payload decode (reader frame 0 == ImageIO.read)
+    assert(samples.map(_._3.toSeq).distinct.size > 1, id)
+    assert(samples.head._3.toSeq == MediaCodec.decodeImage(bytes).get.toSeq)
+    // stills are a 1-frame sequence: all samples hit frame 0
+    val png = encode(rgb(Seq(Seq(0xabcdef, 0x123456))), "png")
+    val Some((n1, s1)) = MediaCodec.sampleFrames(png, 3)
+    assert(n1 == 1 && s1.map(_._2) == Seq(0, 0, 0))
+    assert(s1.map(_._3.toSeq).distinct.size == 1)
+  }
+
+  test("frameSamplesReal stage: k rows per asset, plan fallback uses the SQL ts grid") {
+    val rows = MediaPayloads.table(14)
+    val out = MediaFeatures.frameSamplesReal(rows.toDF("media_id", "payload"), 4)
+      .collect().map(r => (r.getString(0), r.getInt(3)) ->
+        (r.getString(1), r.getInt(2), r.getInt(4))).toMap
+    assert(out.size == 14 * 4)
+    // plan rows: src_pos is the decisecond grid floor(i*dur/4) of the md5 duration
+    out.collect { case ((id, i), ("plan", nf, ts)) =>
+      assert(nf == 0, id)
+      assert(ts == (i.toLong * MediaCodec.fallbackDurationDs(id) / 4).toInt, id)
+    }
+    // frames rows: src frame indices within [0, n)
+    out.collect { case ((id, _), ("frames", nf, src)) =>
+      assert(nf >= 1 && src >= 0 && src < nf, id)
+    }
+  }
+
+  test("fallbackDurationDs matches the SQL fakeIntrinsics duration column") {
+    val refs = Seq("media://abc", "vid.mp4", "x")
+    val sql = refs.toDF("media_ref")
+      .select(col("media_ref"),
+        MediaFeatures.fakeIntrinsics(col("media_ref")).last)
+      .as[(String, Int)].collect().toMap
+    refs.foreach(r => assert(MediaCodec.fallbackDurationDs(r) == sql(r), r))
+  }
+
   test("decodeFeatures stage: mixed corpus decodes distributed, hostile rows degrade per-row") {
-    val rows = MediaPayloads.table(12) // 2 full kind cycles
+    val rows = MediaPayloads.table(14) // 2 full kind cycles
     val out = MediaFeatures.decodeFeatures(rows.toDF("media_id", "payload"))
       .collect().map(r => r.getString(0) ->
         (r.getString(1), (2 to 9).map(r.getFloat))).toMap
-    assert(out.size == 12)
+    assert(out.size == 14)
     val byFmt = out.values.groupBy(_._1).view.mapValues(_.size).toMap
-    assert(byFmt == Map("img" -> 8, "wav" -> 2, "fallback" -> 2))
+    assert(byFmt == Map("img" -> 10, "wav" -> 2, "fallback" -> 2))
     // fallback rows carry the md5 features of their id (never nulls/zeros)
     out.collect { case (id, ("fallback", f)) =>
       assert(f == MediaCodec.fallbackFeatures(id).toSeq, id)
