@@ -553,7 +553,7 @@ object Bench {
          || --- | --- | --- | --- |
          |${
            val pairs = histLines.flatMap(l =>
-             if (l.contains(s""""n_docs":$nDocs"""))
+             if (BenchSelect.jsonField(l, "n_docs").contains(nDocs.toDouble))
                """"lvl":"([0-9]+),([0-9]+)"""".r.findFirstMatchIn(l)
                  .map(m => (m.group(1).toInt, m.group(2).toInt))
              else None).distinct.sorted

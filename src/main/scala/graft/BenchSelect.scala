@@ -51,7 +51,9 @@ object BenchSelect {
   def historicalFloors(lines: Seq[String], nDocs: Long,
       loLvl: Int, hiLvl: Int): Map[Int, Double] = {
     val rows = lines.filter { l =>
-      l.contains(s""""n_docs":$nDocs""") &&
+      // delimiter-aware corpus match: raw substring containment would let
+      // "n_docs":250000000 satisfy a 25000000 query (decimal prefix)
+      jsonField(l, "n_docs").contains(nDocs.toDouble) &&
         l.contains(""""clean_pair":true""") &&
         jsonField(l, "sched").exists(_ >= CurrentSched)
     }

@@ -143,8 +143,11 @@ object Fixtures {
     // PNG/BMP/GIF/JPEG/WAV bytes) plus garbage rows, with expected features
     // precomputed driver-side — q_media_decode then re-decodes the SAME
     // bytes on executors and the DuckDB oracle replays these expecteds, so
-    // the driver's hash compare proves distributed decode parity
-    graft.media.MediaPayloads.table(66).map { case (id, bytes) =>
+    // the driver's hash compare proves distributed decode parity.
+    // Encoded once; all three media fixtures derive from the same byte set
+    // by construction (not just by encoder determinism).
+    val mediaPayloads = graft.media.MediaPayloads.table(66)
+    mediaPayloads.map { case (id, bytes) =>
       val (fmt, f) = graft.media.MediaCodec.decodeReal(bytes)
         .getOrElse(("fallback", graft.media.MediaCodec.fallbackFeatures(id)))
       (id, bytes, fmt, f(0), f(1), f(2), f(3), f(4), f(5), f(6), f(7))
@@ -154,7 +157,7 @@ object Fixtures {
 
     // real-resize expecteds: driver runs the same decode→NN-resize→PNG→
     // re-decode loop the executors run in q_media_resize_real
-    graft.media.MediaPayloads.table(66).map { case (id, bytes) =>
+    mediaPayloads.map { case (id, bytes) =>
       graft.media.MediaCodec.resizeImage(bytes, 640, 360) match {
         case Some((w, h, ow, oh, png)) =>
           val f = graft.media.MediaCodec.decodeImage(png).get
@@ -170,7 +173,7 @@ object Fixtures {
       .coalesce(1).write.mode("overwrite").parquet(s"$r/media_resized")
 
     // real-frame-sample expecteds, same loop as q_frame_sample_real
-    graft.media.MediaPayloads.table(66).flatMap { case (id, bytes) =>
+    mediaPayloads.flatMap { case (id, bytes) =>
       graft.media.MediaCodec.sampleFrames(bytes, 4) match {
         case Some((n, samples)) => samples.map { case (i, src, f) =>
           (id, "frames", n, i, src, f(2), f(3), f(4), f(5), f(6), f(7))

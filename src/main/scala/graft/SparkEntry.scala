@@ -141,7 +141,17 @@ object SparkEntry {
     //     O(1)-row delta commit + read-side MERGE view (the oracle replays
     //     the merge as a plain union+groupBy) ---
     "q_add_edge" -> ((s, d) => {
-      val dir = java.nio.file.Files.createTempDirectory("graft-addedge").toString
+      // fixed scratch table under the fixture root, rebuilt per invocation
+      // (a createTempDirectory here would leak one full edges copy into
+      // /tmp every harness run)
+      val dir = s"${Fixtures.root(d)}/addedge_table"
+      val tableDir = java.nio.file.Paths.get(dir)
+      if (java.nio.file.Files.exists(tableDir)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(tableDir)
+          .sorted(java.util.Comparator.reverseOrder())
+          .iterator().asScala.foreach(java.nio.file.Files.delete)
+      }
       graft.tables.TableIO.commitSnapshot(Fixtures.edgesFlat(s, d), dir, "edges")
       KgQueries.addEdgeDelta(s, dir, 111L, 222L, "Manually Added")
       KgQueries.mergedEdges(graft.tables.TableIO.readCurrent(s, dir))
@@ -771,7 +781,8 @@ object SparkEntry {
     // in SQL, so the training kernel (not just search) is oracled
     "q_ivf_train" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
-         |  FROM read_parquet('/root/testdata/sf0.01/embeddings.parquet')),
+         |  FROM read_parquet('/root/testdata/sf0.01/embeddings.parquet')
+         |  WHERE embedding IS NOT NULL),
          |c AS (SELECT cid, c::DOUBLE[] AS c FROM ${p("ivf_seeds")}),
          |asg AS (SELECT vec_id, v, cid FROM (
          |  SELECT e.vec_id, e.v, c.cid, row_number() OVER (PARTITION BY e.vec_id ORDER BY
@@ -788,9 +799,13 @@ object SparkEntry {
     // assignment (shifted-L2 score |c|²−2x·c, same dots in the same order
     // as the Spark kernel — the per-row |x|² constant is dropped on both
     // sides), nprobe probing, exact-cosine scoring, top-k
+    // null embeddings are excluded to mirror Ann.withCid/lloydRound's
+    // isNotNull guard (the sf0.01 fixture happens to contain none, but the
+    // oracle must not silently diverge if one appears)
     "q_ann_ivf" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
-         |  FROM read_parquet('/root/testdata/sf0.01/embeddings.parquet')),
+         |  FROM read_parquet('/root/testdata/sf0.01/embeddings.parquet')
+         |  WHERE embedding IS NOT NULL),
          |c AS (SELECT cid, c::DOUBLE[] AS c FROM ${p("ivf_centroids")}),
          |asg AS (SELECT vec_id, cid FROM (
          |  SELECT e.vec_id, c.cid, row_number() OVER (PARTITION BY e.vec_id ORDER BY

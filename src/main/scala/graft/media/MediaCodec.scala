@@ -134,7 +134,8 @@ object MediaCodec {
     * of md5(ref)) — the executor-side fallback must hash-match the SQL
     * column expression exactly, and a test pins the parity. */
   def fallbackFeatures(mediaRef: String): Array[Float] = {
-    Array.tabulate(FeatureDim)(i => md5Hex(mediaRef).charAt(i).toInt.toFloat)
+    val hex = md5Hex(mediaRef)
+    Array.tabulate(FeatureDim)(i => hex.charAt(i).toInt.toFloat)
   }
 
   private def md5Hex(s: String): String =

@@ -360,7 +360,7 @@ object TableIO {
     * NumberFormatException, DateTimeException...) — rethrows immediately: a
     * deterministic failure retried with backoff just delays and obscures
     * the real bug. */
-  private[tables] def isRetryable(e: Throwable): Boolean = e match {
+  private[graft] def isRetryable(e: Throwable): Boolean = e match {
     case _: java.io.IOException => true
     case _: java.io.UncheckedIOException => true
     case _: java.util.concurrent.TimeoutException => true
@@ -373,8 +373,12 @@ object TableIO {
       // backoff budget before surfacing the real bug
       Option(e.getCause).exists(isRetryable) || {
         val m = Option(e.getMessage).getOrElse("").toLowerCase
+        // "executorlostfailure" is Spark's actual reason string
+        // (TaskEndReason.toErrorString — no space); keep the spaced
+        // variants for scheduler log phrasings
         Seq("fetchfailed", "timed out", "timeout", "connection reset",
-          "connection refused", "executor lost", "heartbeat").exists(m.contains)
+          "connection refused", "executorlostfailure", "executor lost",
+          "lost executor", "heartbeat").exists(m.contains)
       }
     case _ => false
   }

@@ -64,6 +64,16 @@ class BenchSelectSpec extends AnyFunSuite {
       Map(1 -> 300.7, 4 -> 320.3))
   }
 
+  test("historicalFloors: corpus match is delimiter-aware, not a decimal-prefix substring") {
+    // a 250M-doc row must NOT feed floors for a 25M-doc query (and vice versa)
+    val tenX = ledger :+
+      """{"t_n":1700.0,"t_4n":480.0,"eff":0.885,"n":625045770,"n_docs":250000000,"lvl":"2,8","clean_pair":true,"cpu_n":36.0,"cpu_4n":47.0,"sched":2}"""
+    assert(BenchSelect.historicalFloors(tenX, 25000000L, 2, 8) ==
+      Map(2 -> 360.0, 8 -> 470.0)) // unchanged — the 36/47 floors are the other corpus
+    assert(BenchSelect.historicalFloors(tenX, 250000000L, 2, 8) ==
+      Map(2 -> 36.0, 8 -> 47.0))
+  }
+
   test("ceiling: per-level floor stops a contention-inflated global min from re-anchoring a level") {
     // scenario (round-3 ADVICE): only 8-thread runs clean in this
     // invocation; their contention-inflated CPU (486) is the global min.

@@ -125,6 +125,19 @@ class TableIOSpec extends SparkSuite {
     assert(attempts.get() == 1, s"deterministic failure was retried ${attempts.get()} times")
   }
 
+  test("isRetryable: Spark's actual cause-less failure strings classify correctly (X5 taxonomy)") {
+    // ExecutorLostFailure reaches the driver as a cause-less SparkException
+    // whose message embeds TaskEndReason.toErrorString — one word, no space
+    assert(TableIO.isRetryable(new org.apache.spark.SparkException(
+      "Job aborted due to stage failure: ExecutorLostFailure (executor 1 exited caused by one of the running tasks)")))
+    assert(TableIO.isRetryable(new org.apache.spark.SparkException(
+      "Task failed: FetchFailed(BlockManagerId(1, host, 7337, None))")))
+    // cause-less deterministic shapes stay non-retryable
+    assert(!TableIO.isRetryable(new org.apache.spark.SparkException(
+      "Job aborted due to stage failure: assertion failed: bad plan")))
+    assert(!TableIO.isRetryable(new RuntimeException("ExecutorLostFailure")))
+  }
+
   test("delta commits: tick write volume is O(batch); readers union the chain; compaction bounds it") {
     val dir = tmpDir("delta")
     TableIO.commitSnapshot((1 to 100).map(i => (i.toLong, "base")).toDF("id", "src"), dir, "t")
