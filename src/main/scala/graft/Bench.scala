@@ -171,6 +171,67 @@ object Bench {
     done.get() * 1000.0 / millis
   }
 
+  /** SUSTAINED windowed kernel probe: the same workload-matched kernel as
+    * [[kernelProbe]], but run long enough to ENGAGE the host's
+    * sustained-load throttle and sampled per window. The short (1.5-3 s)
+    * probes read clean even inside a throttle phase (round-4 ledger: dirty
+    * 4,16 runs with kernel probes at 0.887-0.962) because the hypervisor
+    * grants burst allowance at small timescales; the throttle only bites
+    * under SUSTAINED ≥16-thread load. Per-window throughput over
+    * `nWindows · windowMs` exposes both failure shapes: a collapse in the
+    * later windows (burst budget draining mid-probe) and a uniformly slow
+    * read vs the short-probe anchor (phase already engaged). Returns
+    * docs/sec per window. Workers publish per-thread counters via
+    * `lazySet` into dedicated slots so the sampling itself adds no fenced
+    * contention to the measured kernel. */
+  def kernelProbeWindows(threads: Int, docs: Array[graft.model.Doc],
+      ac: graft.extract.AhoCorasick, pc: graft.extract.AhoCorasick,
+      nWindows: Int = 4, windowMs: Long = 3000L): Seq[Double] = {
+    import graft.model.{Doc, Span}
+    require(docs.nonEmpty && nWindows > 0 && windowMs > 0)
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val slots = new java.util.concurrent.atomic.AtomicLongArray(threads)
+    val ready = new java.util.concurrent.CountDownLatch(threads)
+    val go = new java.util.concurrent.CountDownLatch(1)
+    val failure = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+    val ts = (0 until threads).map { t =>
+      new Thread(() => {
+        try {
+          // thread-local deep copy — same rationale as kernelProbe
+          val mine: Array[Doc] = Array.tabulate(math.max(1, docs.length / threads)) { j =>
+            val d = docs((j * threads + t) % docs.length)
+            Doc(new String(d.doc_id), d.spans.map(s =>
+              Span(new String(s.kind), new String(s.text), new String(s.media_ref), s.offset)))
+          }
+          ready.countDown()
+          go.await()
+          var i = 0
+          var local = 0L
+          var sink = 0L
+          while (!stop.get()) {
+            val it = graft.extract.Extract.docTriples(mine(i % mine.length), ac, pc)
+            while (it.hasNext) sink += it.next().subj.length
+            local += 1
+            i += 1
+            slots.lazySet(t, local)
+          }
+          if (sink == Long.MinValue) slots.lazySet(t, local) // blackhole
+        } catch { case e: Throwable => failure.compareAndSet(null, e); ready.countDown() }
+      })
+    }
+    ts.foreach(_.start())
+    ready.await()
+    go.countDown()
+    def total: Long = (0 until threads).map(slots.get).sum
+    val samples = Array.fill(nWindows + 1)(0L)
+    var w = 0
+    while (w < nWindows) { Thread.sleep(windowMs); w += 1; samples(w) = total }
+    stop.set(true)
+    ts.foreach(_.join())
+    if (failure.get() != null) throw failure.get()
+    (1 to nWindows).map(i => (samples(i) - samples(i - 1)) * 1000.0 / windowMs)
+  }
+
   private val addOpens = Seq(
     "java.base/java.lang", "java.base/java.lang.invoke",
     "java.base/java.lang.reflect", "java.base/java.io",
@@ -370,6 +431,15 @@ object Bench {
     var hostEff = 0.0
     var kernelEff = 0.0
     var attempt = 0
+    // sustained pre-probe throttle detector (see kernelProbeWindows): only
+    // worth the ~12 s of probe load at throttle-prone levels (>8 sustained
+    // threads have been throttled on this host; ≤8 never) — and its verdict
+    // is RECORDED in the ledger row (probe_decay) so a dirty row carries
+    // which phase the host was in instead of reading as unknown weather.
+    val preProbeOn = sys.env.get("GRAFT_BENCH_PREPROBE")
+      .map(_ != "0").getOrElse(hiLvl > 8)
+    var lastDecay = -1.0 // -1 = not measured (pre-probe off at this pair)
+    var skips = 0
     def effSoFar: Double =
       (cleanOf(runsLo.toSeq, loLvl), cleanOf(runsHi.toSeq, hiLvl)) match {
         case (Some(a), Some(b)) => (b.triples / b.wall) / (ratio * (a.triples / a.wall))
@@ -404,11 +474,38 @@ object Bench {
       kernelEff = math.max(kernelEff, kprobe)
       System.err.println(
         f"PROBE pure_cpu=$probe%.3f kernel=$kprobe%.3f (k$loLvl=$k4%.0f k$hiLvl=${math.max(k16a, k16b)}%.0f docs/s)")
-      // upper level FIRST, while the host's burst budget is freshest
-      runsHi += childRun(hiLvl, docsDir, warmDocs, root)
-      runsLo += childRun(loLvl, docsDir, warmDocs, root)
+      // sustained pre-probe: skip this attempt's timed runs entirely when
+      // the host is inside a throttle phase — a timed pair burned there is
+      // 5+ minutes of guaranteed-dirty ladder (round 4 burned three whole
+      // campaigns this way); a 12 s probe detects it for ~4% of the cost.
+      // The LAST possible attempt never skips if no timed pair exists yet:
+      // the artifact must carry a measured (if flagged) pair, not nothing.
+      val throttled = preProbeOn && {
+        val shortHi = math.max(k16a, k16b)
+        val wins = kernelProbeWindows(hiLvl, probeDocs, acProbe, pcProbe)
+        lastDecay = wins.min / math.max(shortHi, 1e-9)
+        System.err.println(f"PREPROBE sustained local[$hiLvl] windows=" +
+          wins.map(w => f"$w%.0f").mkString(",") +
+          f" docs/s; min/short = $lastDecay%.3f")
+        lastDecay < 0.55
+      }
+      val mustRun = runsHi.isEmpty && attempt == maxAttempts - 1
+      if (throttled && !mustRun) {
+        skips += 1
+        System.err.println(f"SKIP attempt ${attempt + 1}: sustained " +
+          f"$hiLvl-thread throughput fell to ${lastDecay * 100}%.0f%% of the " +
+          "burst rate (host throttle phase) — cooling down, not burning timed runs")
+      } else {
+        // upper level FIRST, while the host's burst budget is freshest
+        runsHi += childRun(hiLvl, docsDir, warmDocs, root)
+        runsLo += childRun(loLvl, docsDir, warmDocs, root)
+      }
       attempt += 1
     }
+    if (runsHi.isEmpty || runsLo.isEmpty)
+      throw new IllegalStateException(
+        s"no timed runs executed ($skips attempts skipped by the pre-probe " +
+          "inside throttle phases and the wall budget expired) — re-run later")
     Seq((loLvl, runsLo), (hiLvl, runsHi)).foreach { case (lvl, rs) =>
       if (!rs.exists(isClean(_, lvl))) {
         val histBound = histFloor.get(lvl).exists(f =>
@@ -457,7 +554,15 @@ object Bench {
     // accepts both spellings. sched≥2 rows also carry the selected runs'
     // executor CPU per level — the per-level floor anchor for later
     // invocations.
-    val histLine = f"""{"t_n":$tN%.3f,"t_4n":$t4N%.3f,"eff":$eff%.3f,"host":$hostEff%.3f,"kernel":$kernelEff%.3f,"n":$nN,"n_docs":$nDocs,"lvl":"$loLvl,$hiLvl","clean_pair":$cleanPair,"cpu_n":${bestN.cpuS}%.1f,"cpu_4n":${best4N.cpuS}%.1f,"sched":$CurrentSched}"""
+    // probe_eff: best short bare-thread kernel ratio seen this invocation
+    // (the box's burst-timescale ceiling for this workload). probe_decay:
+    // the LAST sustained pre-probe reading — min window throughput over the
+    // short-probe anchor (≈1 in a clean phase; collapses when the sustained
+    // throttle is engaged; -1 = pre-probe not run at this level pair). A
+    // dirty row with low probe_decay was measured inside a sustained-
+    // throttle phase; dirty with probe_decay ≈ 1 means the burst budget
+    // drained MID-run — attributed weather instead of unknown weather.
+    val histLine = f"""{"t_n":$tN%.3f,"t_4n":$t4N%.3f,"eff":$eff%.3f,"host":$hostEff%.3f,"kernel":$kernelEff%.3f,"n":$nN,"n_docs":$nDocs,"lvl":"$loLvl,$hiLvl","clean_pair":$cleanPair,"cpu_n":${bestN.cpuS}%.1f,"cpu_4n":${best4N.cpuS}%.1f,"probe_eff":$kernelEff%.3f,"probe_decay":$lastDecay%.3f,"preprobe_skips":$skips,"sched":$CurrentSched}"""
     Files.writeString(histPath, histLine + "\n",
       java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.APPEND)
     // Clean observations (BenchSelect.cleanPairs: clean-pair rows, in-band
@@ -532,6 +637,34 @@ object Bench {
          || level | wall (s) | executor CPU (s) | filter |
          || --- | --- | --- | --- |
          |$ledger
+         |
+         |Throttle-phase attribution: at throttle-prone pairs (>8 sustained
+         |threads) each attempt runs a SUSTAINED pre-probe — the pipeline's
+         |own extraction kernel in bare threads for ~12 s, sampled per 3 s
+         |window — before burning a timed pair. Short (1.5 s) probes read
+         |clean even inside a throttle phase (burst allowance); the sustained
+         |probe engages the throttle and detects it. `bench_history.jsonl`
+         |rows carry the verdict: `probe_eff` = best short bare-thread
+         |kernel ratio this invocation (the box's burst-timescale ceiling),
+         |`probe_decay` = min sustained-window throughput over the short
+         |anchor (≈1 clean; collapses inside a sustained-throttle phase;
+         |-1 = pre-probe not run at this pair), `preprobe_skips` = attempts
+         |whose timed runs were skipped because the probe said throttled. A
+         |`clean_pair:false` row with LOW probe_decay was measured inside a
+         |sustained-throttle phase; one with probe_decay ≈ 1 hit a mid-run
+         |burst-budget drain — attributed weather, not unknown weather.
+         |This invocation: probe_decay ${
+           if (lastDecay < 0) "not measured (pre-probe off at this pair)"
+           else f"$lastDecay%.3f"}, $skips attempt(s) skipped.
+         |
+         |Pair-choice context: the default 1→4 pair trades contention
+         |exposure for throttle robustness — local[1]'s cpu==wall anchor
+         |sees near-zero memory contention, so its headline efficiency is
+         |structurally easier than 2→8 or 4→16 (cleanMult's own schedule:
+         |1.35× vs 1.6-1.9× contention inflation). Read the 1→4 headline
+         |alongside the 2→8/4→16 medians in the level-pair table below —
+         |the pair change shifts the contention regime, not just the
+         |throttle exposure.
          |
          |**Scaling efficiency (N→4N) = tput(4N) / (4·tput(N)) = $eff%.3f**
          |(target ≥ 0.8, BASELINE.json). The box's capacity drifts between

@@ -60,8 +60,14 @@ object Fixtures {
   def ensure(spark: SparkSession, sfDir: String): String = synchronized {
     val r = root(sfDir)
     // bump the suffix whenever fixture content changes so stale round-N
-    // fixtures regenerate (deterministic, ~30s at sf0.01)
-    val ready = Paths.get(r, "_READY_v9")
+    // fixtures regenerate (deterministic, ~30s at sf0.01). The JVM version
+    // is folded in because media expecteds depend on the JDK's bundled
+    // decoders (notably the native libjpeg behind lossy JPEG decode) — a
+    // JDK upgrade regenerates fixtures instead of failing q_media_decode
+    // parity in a way that masquerades as executor-vs-driver divergence
+    val jdkTag = sys.props.getOrElse("java.version", "unknown")
+      .replaceAll("[^0-9A-Za-z._-]", "_")
+    val ready = Paths.get(r, s"_READY_v10_jdk$jdkTag")
     if (Files.exists(ready)) return r
     import spark.implicits._
 
@@ -146,7 +152,7 @@ object Fixtures {
     // the driver's hash compare proves distributed decode parity.
     // Encoded once; all three media fixtures derive from the same byte set
     // by construction (not just by encoder determinism).
-    val mediaPayloads = graft.media.MediaPayloads.table(66)
+    val mediaPayloads = graft.media.MediaPayloads.table(72) // 8 full kind cycles
     mediaPayloads.map { case (id, bytes) =>
       val (fmt, f) = graft.media.MediaCodec.decodeReal(bytes)
         .getOrElse(("fallback", graft.media.MediaCodec.fallbackFeatures(id)))
@@ -188,6 +194,13 @@ object Fixtures {
     }.toDF("media_id", "fmt", "n_frames", "frame_idx", "src_pos",
         "e2", "e3", "e4", "e5", "e6", "e7")
       .coalesce(1).write.mode("overwrite").parquet(s"$r/media_frames")
+
+    // golden decode payloads: bytes ONLY — the expected features live as
+    // hand-computed literals in the q_media_decode_golden oracle SQL
+    // (ground truth independent of MediaCodec; see MediaPayloads.goldenTable)
+    graft.media.MediaPayloads.goldenTable
+      .toDF("media_id", "payload")
+      .coalesce(1).write.mode("overwrite").parquet(s"$r/media_golden")
 
     Files.writeString(ready, "ok")
     r

@@ -24,6 +24,23 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     Fixtures.triplesFlat(spark, "/root/testdata/sf0.001")
 
+  /** Register (once) a shutdown hook deleting this process's q_add_edge
+    * scratch dir — the query's result frame reads it lazily, so the only
+    * safe delete points are the next invocation's rebuild and JVM exit. */
+  private val addEdgeScratchHooked =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private def addEdgeScratchCleanup(dir: String): Unit =
+    if (addEdgeScratchHooked.add(dir))
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        val p = java.nio.file.Paths.get(dir)
+        if (java.nio.file.Files.exists(p)) {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(p)
+            .sorted(java.util.Comparator.reverseOrder())
+            .iterator().asScala.foreach(java.nio.file.Files.deleteIfExists(_))
+        }
+      }))
+
   private def mentionsCanon(s: SparkSession, d: String): DataFrame =
     Fixtures.mentionsFlat(s, d)
       .join(broadcast(Fixtures.aliasesDf(s, d)),
@@ -141,10 +158,15 @@ object SparkEntry {
     //     O(1)-row delta commit + read-side MERGE view (the oracle replays
     //     the merge as a plain union+groupBy) ---
     "q_add_edge" -> ((s, d) => {
-      // fixed scratch table under the fixture root, rebuilt per invocation
-      // (a createTempDirectory here would leak one full edges copy into
-      // /tmp every harness run)
-      val dir = s"${Fixtures.root(d)}/addedge_table"
+      // scratch table under the fixture root (a createTempDirectory here
+      // would leak one full edges copy into /tmp every harness run),
+      // PID-suffixed so two concurrent harness/Verify PROCESSES on the
+      // same sfDir can't race on one dir (delete under a reader /
+      // interleaved commits); rebuilt per invocation within a process and
+      // removed by a shutdown hook — lazy evaluation means the returned
+      // frame reads the dir AFTER this lambda, so it can't be deleted here
+      val dir = s"${Fixtures.root(d)}/addedge_table_pid${ProcessHandle.current().pid()}"
+      addEdgeScratchCleanup(dir)
       val tableDir = java.nio.file.Paths.get(dir)
       if (java.nio.file.Files.exists(tableDir)) {
         import scala.jdk.CollectionConverters._
@@ -220,6 +242,18 @@ object SparkEntry {
       val r = Fixtures.ensure(s, d)
       graft.media.MediaFeatures.decodeFeatures(
         s.read.parquet(s"$r/media_codec").select("media_id", "payload"))
+        .orderBy("media_id")
+    }),
+    // --- GROUND-TRUTH decode check: the media_golden fixture holds ONLY
+    //     payload bytes; the oracle's expected features are hand-computed
+    //     literals (derivations in MediaPayloads.goldenTable's scaladoc),
+    //     independent of MediaCodec — unlike q_media_decode, whose oracle
+    //     replays driver-precomputed expecteds and therefore proves
+    //     executor==driver parity rather than decode correctness ---
+    "q_media_decode_golden" -> ((s, d) => {
+      val r = Fixtures.ensure(s, d)
+      graft.media.MediaFeatures.decodeFeatures(
+        s.read.parquet(s"$r/media_golden").select("media_id", "payload"))
         .orderBy("media_id")
     }),
     // --- REAL pixel resize: executors decode → NN-resize (integer source
@@ -656,6 +690,22 @@ object SparkEntry {
       s"""SELECT media_id, fmt,
          |  ${(0 until 8).map(i => s"e$i AS f$i").mkString(", ")}
          |FROM ${p("media_codec")} ORDER BY media_id""".stripMargin,
+    // hand-computed literal expecteds (derivations in
+    // MediaPayloads.goldenTable's scaladoc) — decode GROUND TRUTH, no
+    // MediaCodec-produced value anywhere on the oracle side
+    "q_media_decode_golden" ->
+      s"""SELECT media_id, fmt,
+         |  ${(0 until 8).map(i => s"CAST(f$i AS FLOAT) AS f$i").mkString(", ")}
+         |FROM (VALUES
+         |  ('g00-png2x2',  'img', 2, 2, 127500, 127500, 127500, 127250, 7331, 1000),
+         |  ('g01-bmp2x2',  'img', 2, 2, 127500, 127500, 127500, 127250, 7331, 1000),
+         |  ('g02-gif4x1',  'img', 4, 1, 127500, 127500, 127500, 127250, 7331, 4000),
+         |  ('g03-gray3x1', 'img', 3, 1, 128000, 128000, 128000, 128000, 0, 3000),
+         |  ('g04-wav5',    'wav', 8000, 1, 5, 16, 140, 300, 3, 0),
+         |  ('g05-au3',     'wav', 8000, 1, 3, 16, 3, 5, 1, 0),
+         |  ('g06-aiff4',   'wav', 4000, 1, 4, 16, 1000, 1000, 3, 1)
+         |) AS t(media_id, fmt, f0, f1, f2, f3, f4, f5, f6, f7)
+         |ORDER BY media_id""".stripMargin,
     // replay of driver-precomputed resize expecteds (see queries entry)
     "q_media_resize_real" ->
       s"""SELECT media_id, fmt, in_w, in_h, out_w, out_h,

@@ -61,7 +61,12 @@ final class Enricher(kg: KgSession, mentionsCanon: DataFrame, conf: Enricher.Con
     if (n > 0) {
       // delta-append: each tick writes O(batch) rows, not O(edges) — the
       // reader unions the delta chain; TableIO compacts when it grows long
-      TableIO.commitDelta(newE, kg.edgesDir, "edges")
+      TableIO.commitDelta(newE, kg.edgesDir, "edges", conf.maxChain)
+      // snapshot GC: without it a long-running ticker accretes one snap
+      // dir per tick forever (compaction repoints but never deletes);
+      // vacuum from the single appender is the safe place (see
+      // TableIO.vacuum's reader caveat)
+      if (conf.vacuumRetain > 0) TableIO.vacuum(kg.edgesDir, conf.vacuumRetain)
       addedCount.addAndGet(n)
     }
     n
@@ -107,11 +112,19 @@ object Enricher {
     * @param maxRelationships total cap, the enricher's stop condition
     * @param intervalMs ticker interval
     * @param focusBottomK >0 = G5 reseeding: each tick mines only pairs
-    *   touching the current bottom-k-degree nodes */
+    *   touching the current bottom-k-degree nodes
+    * @param vacuumRetain >0 = per-tick snapshot GC keeping the chains of
+    *   the newest N roots ([[graft.tables.TableIO.vacuum]]); 0 = keep
+    *   every snapshot (unbounded time travel, unbounded disk)
+    * @param maxChain delta-chain length that triggers a compacting full
+    *   rewrite ([[graft.tables.TableIO.commitDelta]]) — the disk floor
+    *   under vacuum is one full chain, so GC granularity follows this */
   final case class Conf(
       minDocs: Long = 3,
       batch: Int = 10,
       maxRelationships: Long = 50,
       intervalMs: Long = 1000,
-      focusBottomK: Int = 0)
+      focusBottomK: Int = 0,
+      vacuumRetain: Int = 0,
+      maxChain: Int = 64)
 }

@@ -269,6 +269,49 @@ object TableIO {
     }
   }
 
+  /** Snapshot garbage collection: delete snap dirs (and their manifests)
+    * not reachable from the chains of the `retainLast` newest committed
+    * roots (CURRENT's chain is always among them — CURRENT only ever
+    * advances, so the newest ids are the most recent CURRENTs). Without
+    * this every [[commitSnapshot]]/compaction leaves its superseded
+    * `snap-*` dir on disk forever and a long-running enricher accretes
+    * unbounded storage; with it, disk is bounded by the retention window
+    * while [[readCurrent]] and time travel ([[readSnapshot]]) within that
+    * window stay intact — a retained root's whole delta chain is kept,
+    * including base full snapshots older than the window.
+    *
+    * Safety: ids GREATER than CURRENT are never touched (a concurrent
+    * committer may have claimed the dir and still be writing into it),
+    * and the scan-choose-delete runs under the table's appender lock so
+    * an in-JVM delta commit can't repoint CURRENT mid-vacuum. Deleting a
+    * snapshot a reader is mid-scan over is the usual object-store GC
+    * race — run vacuum from the single writer, with `retainLast` sized
+    * past the longest reader. Returns the deleted snapshot ids. */
+  def vacuum(dir: String, retainLast: Int = 2): Seq[Int] = {
+    require(retainLast >= 1, s"retainLast must be >= 1, got $retainLast")
+    val lock = appendLocks.computeIfAbsent(
+      Paths.get(dir).toAbsolutePath.toString, _ => new Object)
+    lock.synchronized {
+      currentSnapshotId(dir) match {
+        case None => Seq.empty
+        case Some(cur) =>
+          val all = listSnapshots(dir)
+          val roots = all.filter(_ <= cur).takeRight(retainLast)
+          val keep = roots.flatMap(r => snapshotChain(dir, r)).toSet
+          val victims = all.filter(n => n < cur && !keep.contains(n))
+          victims.foreach { n =>
+            val snapDir = Paths.get(dir, f"snap-$n%05d")
+            if (Files.exists(snapDir))
+              Files.walk(snapDir).sorted(java.util.Comparator.reverseOrder())
+                .forEach(p => Files.delete(p))
+            Files.deleteIfExists(
+              Paths.get(dir, "_manifest", f"snap-$n%05d.json"))
+          }
+          victims
+      }
+    }
+  }
+
   // ------------------------------------------------------- bucketed staging
 
   /** Run a stage with **bucket-granular resume**. The input must be a

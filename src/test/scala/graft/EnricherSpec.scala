@@ -79,4 +79,27 @@ class EnricherSpec extends SparkSuite {
     enr.stop()
     assert(!enr.isRunning)
   }
+
+  // LAST in the suite on purpose: per-tick vacuum deletes the snapshots the
+  // earlier tests accreted (their time travel would break after this)
+  test("vacuumRetain: per-tick GC bounds the snapshot dirs, merged view stays exact") {
+    val before = kg.edges.count()
+    val accreted = kg.edgeSnapshots().size
+    assert(accreted >= 4) // earlier tests left history worth collecting
+    // maxChain=2 forces compactions every other tick, giving vacuum fresh
+    // full-snapshot bases to cut the chain at
+    val enr = new Enricher(kg, mentions,
+      Enricher.Conf(minDocs = 1, batch = 2, maxRelationships = 6,
+        intervalMs = 5, vacuumRetain = 2, maxChain = 2))
+    enr.start()
+    assert(enr.awaitStopped(120000), "enricher did not stop on its own")
+    assert(enr.added == 6)
+    // GC collected the pre-test history AND the run's own superseded ticks:
+    // what's left is the 2 retained roots' chains (≤1 extra base)
+    val left = kg.edgeSnapshots()
+    assert(left.size <= 3, s"vacuum left ${left.size} snapshots: $left")
+    // merged view exact, and time travel to every RETAINED root resolves
+    assert(kg.edges.count() == before + 6)
+    left.foreach(s => kg.edgesAt(s).count())
+  }
 }

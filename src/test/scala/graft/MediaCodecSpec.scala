@@ -54,6 +54,45 @@ class MediaCodecSpec extends SparkSuite {
     assert(MediaCodec.decodeReal(bytes).get._1 == "wav")
   }
 
+  test("decodeWav: AU and AIFF containers decode through the big-endian branch") {
+    import javax.sound.sampled.AudioFileFormat.Type
+    val samples = Array[Short](100, -200, 300, 0, -100)
+    val wavF = MediaCodec.decodeWav(MediaPayloads.wavPcm16(samples, 8000)).get
+    // same PCM through AU (big-endian) and AIFF (big-endian) must yield the
+    // SAME features as the little-endian WAV — container-independent decode
+    Seq(Type.AU -> "au", Type.AIFF -> "aiff").foreach { case (t, n) =>
+      val bytes = MediaPayloads.audioContainer(samples, 8000, t)
+      assert(MediaCodec.decodeReal(bytes).get._1 == "wav", n)
+      assert(MediaCodec.decodeWav(bytes).get.toSeq == wavF.toSeq, n)
+    }
+    // hand-computed AU case with a leading zero sample (sets no sign)
+    val au = MediaPayloads.audioContainer(Array[Short](0, 5, -5), 8000, Type.AU)
+    assert(MediaCodec.decodeWav(au).get.toSeq ==
+      Seq[Float](8000, 1, 3, 16, 3, 5, 1, 0))
+  }
+
+  test("goldenTable decodes to EXACTLY the hand-computed oracle literals") {
+    // the same literal vectors embedded in the q_media_decode_golden oracle
+    // SQL (SparkEntry) — if this test and that oracle ever disagree, one of
+    // them was edited without the other
+    val quad = Seq[Float](2, 2, 127500, 127500, 127500, 127250, 7331, 1000)
+    val expected = Map(
+      "g00-png2x2"  -> ("img", quad),
+      "g01-bmp2x2"  -> ("img", quad),
+      // same primaries as a 4×1 row: identical sums, aspect 4000
+      "g02-gif4x1"  -> ("img", Seq[Float](4, 1, 127500, 127500, 127500, 127250, 7331, 4000)),
+      "g03-gray3x1" -> ("img", Seq[Float](3, 1, 128000, 128000, 128000, 128000, 0, 3000)),
+      "g04-wav5"    -> ("wav", Seq[Float](8000, 1, 5, 16, 140, 300, 3, 0)),
+      "g05-au3"     -> ("wav", Seq[Float](8000, 1, 3, 16, 3, 5, 1, 0)),
+      "g06-aiff4"   -> ("wav", Seq[Float](4000, 1, 4, 16, 1000, 1000, 3, 1)))
+    val rows = MediaPayloads.goldenTable
+    assert(rows.map(_._1).toSet == expected.keySet)
+    rows.foreach { case (id, bytes) =>
+      val (fmt, f) = MediaCodec.decodeReal(bytes).get
+      assert((fmt, f.toSeq) == expected(id), id)
+    }
+  }
+
   test("hostile bytes: garbage, empty and null all decode to None, never throw") {
     assert(MediaCodec.decodeReal(Array[Byte](0, 0, 1, 2, 3)).isEmpty)
     assert(MediaCodec.decodeReal(Array.emptyByteArray).isEmpty)
@@ -114,13 +153,13 @@ class MediaCodecSpec extends SparkSuite {
   }
 
   test("resizeImages stage: images really resized, non-images degrade to the md5 plan") {
-    val rows = MediaPayloads.table(14) // 2 full kind cycles
+    val rows = MediaPayloads.table(18) // 2 full kind cycles
     val out = MediaFeatures.resizeImages(rows.toDF("media_id", "payload"), 640, 360)
       .collect().map(r => r.getString(0) ->
         (r.getString(1), r.getInt(2), r.getInt(3), r.getInt(4), r.getInt(5))).toMap
-    assert(out.size == 14)
+    assert(out.size == 18)
     assert(out.values.count(_._1 == "img") == 10) // incl. agif (frame 0)
-    assert(out.values.count(_._1 == "plan") == 4) // 2 wav + 2 garbage
+    assert(out.values.count(_._1 == "plan") == 8) // 6 audio + 2 garbage
     out.foreach { case (id, (fmt, w, h, ow, oh)) =>
       assert((ow, oh) == MediaCodec.fitDims(w, h, 640, 360), id)
       if (fmt == "plan") assert((w, h) == MediaCodec.fallbackDims(id), id)
@@ -147,11 +186,11 @@ class MediaCodecSpec extends SparkSuite {
   }
 
   test("frameSamplesReal stage: k rows per asset, plan fallback uses the SQL ts grid") {
-    val rows = MediaPayloads.table(14)
+    val rows = MediaPayloads.table(18)
     val out = MediaFeatures.frameSamplesReal(rows.toDF("media_id", "payload"), 4)
       .collect().map(r => (r.getString(0), r.getInt(3)) ->
         (r.getString(1), r.getInt(2), r.getInt(4))).toMap
-    assert(out.size == 14 * 4)
+    assert(out.size == 18 * 4)
     // plan rows: src_pos is the decisecond grid floor(i*dur/4) of the md5 duration
     out.collect { case ((id, i), ("plan", nf, ts)) =>
       assert(nf == 0, id)
@@ -173,13 +212,13 @@ class MediaCodecSpec extends SparkSuite {
   }
 
   test("decodeFeatures stage: mixed corpus decodes distributed, hostile rows degrade per-row") {
-    val rows = MediaPayloads.table(14) // 2 full kind cycles
+    val rows = MediaPayloads.table(18) // 2 full kind cycles
     val out = MediaFeatures.decodeFeatures(rows.toDF("media_id", "payload"))
       .collect().map(r => r.getString(0) ->
         (r.getString(1), (2 to 9).map(r.getFloat))).toMap
-    assert(out.size == 14)
+    assert(out.size == 18)
     val byFmt = out.values.groupBy(_._1).view.mapValues(_.size).toMap
-    assert(byFmt == Map("img" -> 10, "wav" -> 2, "fallback" -> 2))
+    assert(byFmt == Map("img" -> 10, "wav" -> 6, "fallback" -> 2))
     // fallback rows carry the md5 features of their id (never nulls/zeros)
     out.collect { case (id, ("fallback", f)) =>
       assert(f == MediaCodec.fallbackFeatures(id).toSeq, id)

@@ -225,4 +225,114 @@ class TableIOSpec extends SparkSuite {
     assert(TableIO.currentSnapshot(dir).contains("snap-00099"),
       "slow writer must not repoint CURRENT backwards")
   }
+
+  test("vacuum: deletes only snapshots unreachable from the retained roots; retained time travel intact") {
+    val dir = tmpDir("vac")
+    TableIO.commitSnapshot(Seq((1L, "a")).toDF("id", "src"), dir, "t") // 0 full
+    TableIO.commitDelta(Seq((2L, "b")).toDF("id", "src"), dir, "t")    // 1 Δ0
+    TableIO.commitDelta(Seq((3L, "c")).toDF("id", "src"), dir, "t")    // 2 Δ1
+    TableIO.commitSnapshot((1L to 4L).map((_, "r")).toDF("id", "src"), dir, "t") // 3 full
+    TableIO.commitDelta(Seq((5L, "d")).toDF("id", "src"), dir, "t")    // 4 Δ3
+    // an id BEYOND CURRENT = a concurrent committer mid-write: untouchable
+    Files.createDirectory(Paths.get(dir, "snap-00007"))
+
+    // retainLast=2 roots are {4, 3}; both chains bottom out at full snap 3,
+    // so the old chain 0←1←2 is garbage
+    assert(TableIO.vacuum(dir, retainLast = 2).toSet == Set(0, 1, 2))
+    assert(TableIO.listSnapshots(dir) == Seq(3, 4, 7))
+    assert(!Files.exists(Paths.get(dir, "_manifest", "snap-00000.json")))
+    assert(Files.exists(Paths.get(dir, "_manifest", "snap-00003.json")))
+    // current read and time travel WITHIN the retention window still work
+    assert(TableIO.readCurrent(spark, dir).count() == 5)
+    assert(TableIO.readSnapshot(spark, dir, 3).count() == 4)
+    // idempotent; and a vacuum on a table with no CURRENT is a no-op
+    assert(TableIO.vacuum(dir, retainLast = 2).isEmpty)
+    assert(TableIO.vacuum(tmpDir("vacEmpty")).isEmpty)
+  }
+
+  test("vacuum retains a root's WHOLE delta chain, including a base older than the window") {
+    val dir = tmpDir("vacChain")
+    TableIO.commitSnapshot(Seq((1L, "a")).toDF("id", "src"), dir, "t") // 0 full
+    (2L to 5L).foreach(i =>
+      TableIO.commitDelta(Seq((i, s"d$i")).toDF("id", "src"), dir, "t")) // 1-4 Δ
+    // retainLast=2 roots {4, 3}: chains 4←3←2←1←0 — EVERYTHING is reachable
+    assert(TableIO.vacuum(dir, retainLast = 2).isEmpty)
+    assert(TableIO.readCurrent(spark, dir).count() == 5)
+  }
+
+  test("vacuum under a ticking enricher: 100 delta ticks, bounded snap dirs, reads stay exact") {
+    val dir = tmpDir("vacSoak")
+    TableIO.commitSnapshot(Seq((0L, "base")).toDF("id", "src"), dir, "t")
+    var maxDirs = 0
+    (1 to 100).foreach { i =>
+      TableIO.commitDelta(Seq((i.toLong, s"t$i")).toDF("id", "src"), dir, "t",
+        maxChain = 8)
+      TableIO.vacuum(dir, retainLast = 4)
+      maxDirs = math.max(maxDirs, TableIO.listSnapshots(dir).size)
+      if (i % 25 == 0) assert(TableIO.readCurrent(spark, dir).count() == i + 1L)
+    }
+    // retained: ≤4 roots + the ≤8-long chain(s) they share (two chains at a
+    // compaction boundary) — far below the 101 dirs an unvacuumed run keeps
+    assert(maxDirs <= 16, s"snap dirs not bounded: $maxDirs")
+    // exact content, not just counts
+    assert(TableIO.readCurrent(spark, dir).select("id").as[Long]
+      .collect().sorted.toSeq == (0L to 100L))
+    // time travel to every retained root resolves
+    TableIO.listSnapshots(dir).foreach(s =>
+      TableIO.readSnapshot(spark, dir, s).count())
+  }
+
+  test("soak: 200 delta ticks across compaction boundaries — merged view equals a from-scratch fold") {
+    // the real edge schema driven through the real tick path
+    // (KgQueries.addEdgeDelta), several compactions at the production
+    // maxChain=64; after EVERY tick the merged read must equal an
+    // in-memory reference fold and chain fan-in must stay ≤ maxChain
+    val dir = tmpDir("deltaSoak")
+    import org.apache.spark.sql.types._
+    val provType = ArrayType(StructType(Seq(
+      StructField("doc_id", StringType), StructField("span_idx", IntegerType),
+      StructField("media_ref", StringType))))
+    val base = Seq((1L, 2L, "Relates To"), (2L, 3L, "Part Of"))
+      .toDF("src_id", "dst_id", "pred")
+      .withColumn("pred_norm", graft.graph.Materialize.normPred(col("pred")))
+      .withColumn("strength", lit(1.0)).withColumn("n_obs", lit(1L))
+      .withColumn("description", lit("extracted sentence"))
+      .withColumn("provenance", array().cast(provType))
+      .withColumn("created_at", graft.graph.Materialize.CreatedAt)
+    TableIO.commitSnapshot(base, dir, "edges")
+
+    // reference fold: (src,dst,pred) -> n_obs (strength/desc constant here)
+    val ref = scala.collection.mutable.Map(
+      (1L, 2L, "Relates To") -> 1L, (2L, 3L, "Part Of") -> 1L)
+    var checks = 0
+    (1 to 200).foreach { i =>
+      val (src, dst, pred) = ((i % 7).toLong, (i % 5 + 10).toLong,
+        if (i % 3 == 0) "Relates To" else "Links")
+      graft.graph.KgQueries.addEdgeDelta(spark, dir, src, dst, pred)
+      val key = (src, dst, pred)
+      ref(key) = ref.getOrElse(key, 0L) + 1L
+      val chainLen =
+        TableIO.snapshotChain(dir, TableIO.currentSnapshotId(dir).get).length
+      assert(chainLen <= 64, s"tick $i: chain fan-in $chainLen > maxChain")
+      // full equality every 10 ticks AND around each compaction boundary
+      // (ticks 63-66, 127-130, 191-194); count-only otherwise keeps the
+      // soak under a minute
+      if (i % 10 == 0 || (i + 2) % 64 <= 3) {
+        val got = graft.graph.KgQueries.mergedEdges(
+          TableIO.readCurrent(spark, dir))
+          .select("src_id", "dst_id", "pred", "n_obs")
+          .as[(Long, Long, String, Long)].collect()
+          .map(t => (t._1, t._2, t._3) -> t._4).toMap
+        assert(got == ref.toMap, s"tick $i: merged view diverged from fold")
+        checks += 1
+      }
+    }
+    assert(checks >= 25)
+    // exactly one snapshot per tick, and the three expected compactions
+    // (ticks 64/128/192 rewrote full — their chains are length 1)
+    assert(TableIO.currentSnapshotId(dir).contains(200))
+    Seq(64, 128, 192).foreach(s =>
+      assert(TableIO.snapshotChain(dir, s) == Seq(s), s"snap $s not a full rewrite"))
+    assert(TableIO.snapshotChain(dir, 200) == (192 to 200).reverse)
+  }
 }
