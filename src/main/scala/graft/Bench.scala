@@ -242,12 +242,17 @@ object Bench {
     "java.base/sun.security.action", "java.base/sun.util.calendar"
   ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
 
-  /** Run one measurement in a fresh child JVM; parse its RESULT line. */
+  /** Run one measurement in a fresh child JVM; parse its RESULT line.
+    * GRAFT_BENCH_CHILD_OPTS (space-separated JVM flags) lets a campaign
+    * A/B collector/heap settings without code churn — applied identically
+    * at BOTH levels, so the pair stays a fair comparison. */
   private def childRun(cores: Int, docsDir: String, warmDocs: String,
       root: String): RunResult = {
     val java = Paths.get(sys.props("java.home"), "bin", "java").toString
+    val extra = sys.env.get("GRAFT_BENCH_CHILD_OPTS")
+      .map(_.split("\\s+").toSeq.filter(_.nonEmpty)).getOrElse(Seq.empty)
     val cmd = Seq(java) ++ addOpens ++ Seq(
-      s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "64g")}",
+      s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "64g")}") ++ extra ++ Seq(
       "-Dspark.ui.enabled=false", "-Dspark.sql.session.timeZone=UTC",
       "-cp", sys.props("java.class.path"),
       "graft.Bench", "--single", cores.toString, docsDir, warmDocs, root)
@@ -478,18 +483,33 @@ object Bench {
       // the host is inside a throttle phase — a timed pair burned there is
       // 5+ minutes of guaranteed-dirty ladder (round 4 burned three whole
       // campaigns this way); a 12 s probe detects it for ~4% of the cost.
-      // The LAST possible attempt never skips if no timed pair exists yet:
-      // the artifact must carry a measured (if flagged) pair, not nothing.
+      // Skip threshold: every CLEAN ledgered >8-thread pair ran with an
+      // implied sustained decay ≥ 0.95, while the round-5 4,16 attempt at
+      // decay 0.756 still came back 2.4× dirty — the original 0.55
+      // threshold was calibrated to the DEEP throttle phase and waved
+      // through the shallow one. 0.85 sits between the two observed bands
+      // (shallow-throttle ≤0.76, clean ≥0.95); override with
+      // GRAFT_BENCH_DECAY_MIN.
+      // The LAST possible attempt never skips if no timed pair exists yet —
+      // whether it is the last by ATTEMPT COUNT or by WALL BUDGET (the next
+      // cooldown + probe would overrun budgetMs): the artifact must carry a
+      // measured (if flagged) pair, not throw after an all-skip invocation.
+      val decayMin = sys.env.get("GRAFT_BENCH_DECAY_MIN")
+        .map(_.toDouble).getOrElse(0.85)
       val throttled = preProbeOn && {
         val shortHi = math.max(k16a, k16b)
         val wins = kernelProbeWindows(hiLvl, probeDocs, acProbe, pcProbe)
         lastDecay = wins.min / math.max(shortHi, 1e-9)
         System.err.println(f"PREPROBE sustained local[$hiLvl] windows=" +
           wins.map(w => f"$w%.0f").mkString(",") +
-          f" docs/s; min/short = $lastDecay%.3f")
-        lastDecay < 0.55
+          f" docs/s; min/short = $lastDecay%.3f (skip < $decayMin%.2f)")
+        lastDecay < decayMin
       }
-      val mustRun = runsHi.isEmpty && attempt == maxAttempts - 1
+      val probeOverheadMs = 60000L // calibrate+kernel probes+pre-probe
+      val budgetExhausted = (System.currentTimeMillis() - loopT0) +
+        cooldownFor(attempt + 1) + probeOverheadMs >= budgetMs
+      val mustRun = runsHi.isEmpty &&
+        (attempt == maxAttempts - 1 || budgetExhausted)
       if (throttled && !mustRun) {
         skips += 1
         System.err.println(f"SKIP attempt ${attempt + 1}: sustained " +

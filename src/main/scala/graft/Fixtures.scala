@@ -67,7 +67,7 @@ object Fixtures {
     // parity in a way that masquerades as executor-vs-driver divergence
     val jdkTag = sys.props.getOrElse("java.version", "unknown")
       .replaceAll("[^0-9A-Za-z._-]", "_")
-    val ready = Paths.get(r, s"_READY_v10_jdk$jdkTag")
+    val ready = Paths.get(r, s"_READY_v11_jdk$jdkTag")
     if (Files.exists(ready)) return r
     import spark.implicits._
 
@@ -202,6 +202,18 @@ object Fixtures {
       .toDF("media_id", "payload")
       .coalesce(1).write.mode("overwrite").parquet(s"$r/media_golden")
 
+    // delete every stale _READY_* marker before writing ours: markers are
+    // version+JDK-tagged, so leaving old ones would let a host that
+    // ALTERNATES JDKs on one fixture root (CI matrix with a shared cache)
+    // see its own old marker after the other JDK regenerated the data —
+    // silently serving fixtures generated under the other JDK, the exact
+    // masked-parity failure the jdkTag exists to prevent
+    {
+      val st = Files.list(Paths.get(r))
+      try st.filter(p => p.getFileName.toString.startsWith("_READY_"))
+        .forEach(p => Files.deleteIfExists(p))
+      finally st.close()
+    }
     Files.writeString(ready, "ok")
     r
   }

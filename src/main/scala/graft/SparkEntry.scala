@@ -41,6 +41,29 @@ object SparkEntry {
         }
       }))
 
+  /** Delete sibling `addedge_table_pid<N>` scratch dirs whose owning pid is
+    * dead (ProcessHandle.of is empty) — never this process's own dir, never
+    * a live process's. Malformed suffixes are left alone. */
+  private[graft] def sweepDeadScratch(root: java.nio.file.Path): Unit = {
+    import java.nio.file.Files
+    if (!Files.isDirectory(root)) return
+    val self = ProcessHandle.current().pid()
+    val st = Files.list(root)
+    try st.filter(p =>
+        p.getFileName.toString.startsWith("addedge_table_pid"))
+      .forEach { p =>
+        val pidStr = p.getFileName.toString.stripPrefix("addedge_table_pid")
+        val dead = pidStr.forall(_.isDigit) && pidStr.nonEmpty && {
+          val pid = pidStr.toLong
+          pid != self && !ProcessHandle.of(pid).isPresent
+        }
+        if (dead)
+          Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+            .forEach(q => Files.deleteIfExists(q))
+      }
+    finally st.close()
+  }
+
   private def mentionsCanon(s: SparkSession, d: String): DataFrame =
     Fixtures.mentionsFlat(s, d)
       .join(broadcast(Fixtures.aliasesDf(s, d)),
@@ -167,6 +190,11 @@ object SparkEntry {
       // frame reads the dir AFTER this lambda, so it can't be deleted here
       val dir = s"${Fixtures.root(d)}/addedge_table_pid${ProcessHandle.current().pid()}"
       addEdgeScratchCleanup(dir)
+      // sweep stale siblings left by SIGKILL/OOM-killed processes (their
+      // shutdown hooks never ran): any addedge_table_pid* dir whose pid is
+      // no longer alive is garbage — without this, each killed harness
+      // leaks a full edges copy under the shared fixture root forever
+      sweepDeadScratch(java.nio.file.Paths.get(Fixtures.root(d)))
       val tableDir = java.nio.file.Paths.get(dir)
       if (java.nio.file.Files.exists(tableDir)) {
         import scala.jdk.CollectionConverters._
@@ -181,6 +209,13 @@ object SparkEntry {
         .orderBy("src_id", "dst_id", "pred_norm")
     })
   )
+
+  /** Golden payload rows that are images (decode through ImageIO) — the
+    * rows q_media_resize_golden exercises; audio/garbage rows would take
+    * the md5 plan path, which is not hand-derivable ground truth. */
+  private val GoldenImageIds = Seq(
+    "g00-png2x2", "g01-bmp2x2", "g02-gif4x1", "g03-gray3x1",
+    "g07-agif2f", "g08-wbmp2x2")
 
   private def documentsDf(s: SparkSession, d: String) =
     s.read.parquet(s"$d/documents.parquet")
@@ -255,6 +290,33 @@ object SparkEntry {
       graft.media.MediaFeatures.decodeFeatures(
         s.read.parquet(s"$r/media_golden").select("media_id", "payload"))
         .orderBy("media_id")
+    }),
+    // --- GROUND-TRUTH resize check: executors run the full decode →
+    //     NN-resize → PNG re-encode → re-decode loop over the golden image
+    //     payloads into a 4×4 box; the oracle's dims AND resized-image
+    //     features are hand-computed literals (derivations in the
+    //     MediaCodecSpec golden-resize test, double-pinned there) — unlike
+    //     q_media_resize_real, whose oracle replays driver-precomputed
+    //     expecteds ---
+    "q_media_resize_golden" -> ((s, d) => {
+      val r = Fixtures.ensure(s, d)
+      graft.media.MediaFeatures.resizeImages(
+        s.read.parquet(s"$r/media_golden")
+          .filter(col("media_id").isin(GoldenImageIds: _*))
+          .select("media_id", "payload"), 4, 4)
+        .orderBy("media_id")
+    }),
+    // --- GROUND-TRUTH frame-sample check: k=4 over a still (n=1: all
+    //     samples hit frame 0), the 2-frame animated golden (src =
+    //     ⌊i·2/4⌋ = 0,0,1,1 with DIFFERENT per-frame features) and the
+    //     WBMP still; oracle rows are hand-computed literals ---
+    "q_frame_sample_golden" -> ((s, d) => {
+      val r = Fixtures.ensure(s, d)
+      graft.media.MediaFeatures.frameSamplesReal(
+        s.read.parquet(s"$r/media_golden")
+          .filter(col("media_id").isin("g00-png2x2", "g07-agif2f", "g08-wbmp2x2"))
+          .select("media_id", "payload"), 4)
+        .orderBy("media_id", "frame_idx")
     }),
     // --- REAL pixel resize: executors decode → NN-resize (integer source
     //     indexing) → PNG re-encode → re-decode features of the RESIZED
@@ -703,9 +765,53 @@ object SparkEntry {
          |  ('g03-gray3x1', 'img', 3, 1, 128000, 128000, 128000, 128000, 0, 3000),
          |  ('g04-wav5',    'wav', 8000, 1, 5, 16, 140, 300, 3, 0),
          |  ('g05-au3',     'wav', 8000, 1, 3, 16, 3, 5, 1, 0),
-         |  ('g06-aiff4',   'wav', 4000, 1, 4, 16, 1000, 1000, 3, 1)
+         |  ('g06-aiff4',   'wav', 4000, 1, 4, 16, 1000, 1000, 3, 1),
+         |  ('g07-agif2f',  'img', 4, 1, 127500, 127500, 127500, 127250, 7331, 4000),
+         |  ('g08-wbmp2x2', 'img', 2, 2, 127500, 127500, 127500, 127500, 16383, 1000)
          |) AS t(media_id, fmt, f0, f1, f2, f3, f4, f5, f6, f7)
          |ORDER BY media_id""".stripMargin,
+    // hand-computed resize ground truth: 2×2 quads duplicate each pixel
+    // into a 4×4 grid (sums ×4 — means and variance unchanged), 4×1 rows
+    // fit the 4×4 box as the identity, the 3×1 gray row NN-maps sx =
+    // ⌊x·3/4⌋ = 0,0,1,2 (all gray). Derivations double-pinned by the
+    // MediaCodecSpec golden-resize unit test
+    "q_media_resize_golden" ->
+      s"""SELECT media_id, fmt,
+         |  ${(Seq("in_w", "in_h", "out_w", "out_h").map(c => s"CAST($c AS INTEGER) AS $c") ++
+             (2 to 7).map(i => s"CAST(r$i AS FLOAT) AS r$i")).mkString(", ")}
+         |FROM (VALUES
+         |  ('g00-png2x2',  'img', 2, 2, 4, 4, 127500, 127500, 127500, 127250, 7331, 1000),
+         |  ('g01-bmp2x2',  'img', 2, 2, 4, 4, 127500, 127500, 127500, 127250, 7331, 1000),
+         |  ('g02-gif4x1',  'img', 4, 1, 4, 1, 127500, 127500, 127500, 127250, 7331, 4000),
+         |  ('g03-gray3x1', 'img', 3, 1, 4, 1, 128000, 128000, 128000, 128000, 0, 4000),
+         |  ('g07-agif2f',  'img', 4, 1, 4, 1, 127500, 127500, 127500, 127250, 7331, 4000),
+         |  ('g08-wbmp2x2', 'img', 2, 2, 4, 4, 127500, 127500, 127500, 127500, 16383, 1000)
+         |) AS t(media_id, fmt, in_w, in_h, out_w, out_h, r2, r3, r4, r5, r6, r7)
+         |ORDER BY media_id""".stripMargin,
+    // hand-computed frame-sample ground truth: stills are a 1-frame
+    // sequence (every sample hits frame 0 → the decode features); the
+    // 2-frame animated golden samples src = ⌊i·2/4⌋ = 0,0,1,1 with frame 0
+    // = the quad row and frame 1 = the gray row — per-frame features are
+    // DIFFERENT, so a decoder that ignored src frames would hash-mismatch
+    "q_frame_sample_golden" ->
+      s"""SELECT media_id, fmt,
+         |  ${(Seq("n_frames", "frame_idx", "src_pos").map(c => s"CAST($c AS INTEGER) AS $c") ++
+             (2 to 7).map(i => s"CAST(r$i AS FLOAT) AS r$i")).mkString(", ")}
+         |FROM (VALUES
+         |  ('g00-png2x2',  'frames', 1, 0, 0, 127500, 127500, 127500, 127250, 7331, 1000),
+         |  ('g00-png2x2',  'frames', 1, 1, 0, 127500, 127500, 127500, 127250, 7331, 1000),
+         |  ('g00-png2x2',  'frames', 1, 2, 0, 127500, 127500, 127500, 127250, 7331, 1000),
+         |  ('g00-png2x2',  'frames', 1, 3, 0, 127500, 127500, 127500, 127250, 7331, 1000),
+         |  ('g07-agif2f',  'frames', 2, 0, 0, 127500, 127500, 127500, 127250, 7331, 4000),
+         |  ('g07-agif2f',  'frames', 2, 1, 0, 127500, 127500, 127500, 127250, 7331, 4000),
+         |  ('g07-agif2f',  'frames', 2, 2, 1, 128000, 128000, 128000, 128000, 0, 4000),
+         |  ('g07-agif2f',  'frames', 2, 3, 1, 128000, 128000, 128000, 128000, 0, 4000),
+         |  ('g08-wbmp2x2', 'frames', 1, 0, 0, 127500, 127500, 127500, 127500, 16383, 1000),
+         |  ('g08-wbmp2x2', 'frames', 1, 1, 0, 127500, 127500, 127500, 127500, 16383, 1000),
+         |  ('g08-wbmp2x2', 'frames', 1, 2, 0, 127500, 127500, 127500, 127500, 16383, 1000),
+         |  ('g08-wbmp2x2', 'frames', 1, 3, 0, 127500, 127500, 127500, 127500, 16383, 1000)
+         |) AS t(media_id, fmt, n_frames, frame_idx, src_pos, r2, r3, r4, r5, r6, r7)
+         |ORDER BY media_id, frame_idx""".stripMargin,
     // replay of driver-precomputed resize expecteds (see queries entry)
     "q_media_resize_real" ->
       s"""SELECT media_id, fmt, in_w, in_h, out_w, out_h,

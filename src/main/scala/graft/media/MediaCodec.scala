@@ -177,11 +177,16 @@ object MediaCodec {
       reader.setInput(iis)
       val n = reader.getNumImages(true)
       if (n <= 0) return None
-      val samples = (0 until k).map { i =>
-        val src = (i.toLong * n / k).toInt
-        (i, src, imageFeatures(reader.read(src)))
-      }
-      Some((n, samples))
+      // decode each DISTINCT source frame once, ascending: k > n repeats
+      // sources, and not every JDK reader can re-read a frame (WBMP's
+      // re-reads the header from the current stream position and throws
+      // EOFException on the second read(0); PNG/GIF happen to rewind).
+      // Ascending single reads are the universally supported pattern —
+      // and decode work drops to min(k, n) frames.
+      val srcs = (0 until k).map(i => (i.toLong * n / k).toInt)
+      val features = srcs.distinct.sorted
+        .map(s => s -> imageFeatures(reader.read(s))).toMap
+      Some((n, srcs.zipWithIndex.map { case (src, i) => (i, src, features(src)) }))
     } catch { case _: Exception => None }
     finally { reader.dispose(); iis.close() }
   }

@@ -142,6 +142,36 @@ object MediaPayloads {
     Array.tabulate(96)(i => if (i < 8) 0xde.toByte else (g.next() & 0xff).toByte)
   }
 
+  /** Single indexed-palette row (4×1-style): TYPE_BYTE_INDEXED with a
+    * palette of exactly the distinct pixel colors — the GIF writer then
+    * stores the palette verbatim instead of quantizing, and a 1-pixel-high
+    * raster dodges the JDK writer's LZW edge bug (see goldenTable). */
+  def indexedRow(pixels: Seq[Int]): BufferedImage = {
+    val pal = pixels.distinct.toArray
+    val icm = new java.awt.image.IndexColorModel(8, pal.length,
+      pal.map(c => ((c >> 16) & 0xff).toByte),
+      pal.map(c => ((c >> 8) & 0xff).toByte),
+      pal.map(c => (c & 0xff).toByte))
+    val img = new BufferedImage(pixels.size, 1,
+      BufferedImage.TYPE_BYTE_INDEXED, icm)
+    for (x <- pixels.indices) img.setRGB(x, 0, pixels(x))
+    img
+  }
+
+  /** Animated GIF from explicit frames via the JDK writer's sequence API
+    * (the per-id [[animatedGif]] uses the same calls over LCG pixels). */
+  def animatedFrom(frames: Seq[BufferedImage]): Array[Byte] = {
+    val writer = ImageIO.getImageWritersByFormatName("gif").next()
+    val bos = new ByteArrayOutputStream()
+    val ios = ImageIO.createImageOutputStream(bos)
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    frames.foreach(f =>
+      writer.writeToSequence(new javax.imageio.IIOImage(f, null, null), null))
+    writer.endWriteSequence(); ios.close(); writer.dispose()
+    bos.toByteArray
+  }
+
   /** Image from an explicit pixel grid (row-major 0xRRGGBB). */
   def rgbImage(pixels: Seq[Seq[Int]]): BufferedImage = {
     val img = new BufferedImage(pixels.head.size, pixels.size,
@@ -173,7 +203,21 @@ object MediaPayloads {
     *  - AU PCM16 [0,5,-5] @8000 Hz: meanAbs ⌊10/3⌋=3, maxAbs 5,
     *    crossings 1, durMs 0 (leading zero sample sets no sign);
     *  - AIFF PCM16 [1000,-1000,1000,-1000] @4000 Hz: meanAbs 1000,
-    *    maxAbs 1000, crossings 3, durMs ⌊4000/4000⌋=1. */
+    *    maxAbs 1000, crossings 3, durMs ⌊4000/4000⌋=1;
+    *  - 2-FRAME animated GIF, both frames explicitly indexed 4×1 rows
+    *    (same LZW-bug dodge as g02): frame 0 = the four primaries
+    *    (features identical to g02's derivation), frame 1 = uniform
+    *    0x808080 gray (lumas all exactly 128 → means 128000, var 0,
+    *    aspect 4000). decodeImage reads frame 0; sampleFrames(k=4) over
+    *    n=2 lands src = ⌊i·2/4⌋ = 0,0,1,1 — per-frame ground truth for
+    *    q_frame_sample_golden;
+    *  - HAND-WRITTEN 6-byte WBMP (type 0, fixed-header 0, uintvar
+    *    width=2 height=2 — values <128 are single bytes — then
+    *    MSB-first bit rows 0b10000000, 0b01000000): pixels white/black //
+    *    black/white, 1 = white per the WBMP spec. Lumas 255/0/0/255:
+    *    channel sums 510 → 127500‰ each, sumL 510 → 127500,
+    *    var ⌊130050/4⌋ − 127² = 32512 − 16129 = 16383, aspect 1000 —
+    *    exercises the one JDK image codec no other fixture row hits. */
   def goldenTable: Seq[(String, Array[Byte])] = {
     import javax.sound.sampled.AudioFileFormat.Type
     val quadPal = Array(0xff0000, 0x00ff00, 0x0000ff, 0xffffff)
@@ -195,6 +239,10 @@ object MediaPayloads {
       img
     }
     val gray = rgbImage(Seq(Seq(0x808080, 0x808080, 0x808080)))
+    val agif2 = animatedFrom(Seq(
+      indexedRow(quadPal.toSeq),
+      indexedRow(Seq(0x808080, 0x808080, 0x808080, 0x808080))))
+    val wbmp = Array[Byte](0x00, 0x00, 0x02, 0x02, 0x80.toByte, 0x40)
     Seq(
       "g00-png2x2"  -> encode(quad, "png"),
       "g01-bmp2x2"  -> encode(quad, "bmp"),
@@ -203,7 +251,9 @@ object MediaPayloads {
       "g04-wav5"    -> wavPcm16(Array[Short](100, -200, 300, 0, -100), 8000),
       "g05-au3"     -> audioContainer(Array[Short](0, 5, -5), 8000, Type.AU),
       "g06-aiff4"   ->
-        audioContainer(Array[Short](1000, -1000, 1000, -1000), 4000, Type.AIFF))
+        audioContainer(Array[Short](1000, -1000, 1000, -1000), 4000, Type.AIFF),
+      "g07-agif2f"  -> agif2,
+      "g08-wbmp2x2" -> wbmp)
   }
 
   val Kinds =

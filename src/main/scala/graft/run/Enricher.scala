@@ -66,7 +66,8 @@ final class Enricher(kg: KgSession, mentionsCanon: DataFrame, conf: Enricher.Con
       // dir per tick forever (compaction repoints but never deletes);
       // vacuum from the single appender is the safe place (see
       // TableIO.vacuum's reader caveat)
-      if (conf.vacuumRetain > 0) TableIO.vacuum(kg.edgesDir, conf.vacuumRetain)
+      if (conf.vacuumRetain > 0)
+        TableIO.vacuum(kg.edgesDir, conf.vacuumRetain, conf.vacuumGraceMs)
       addedCount.addAndGet(n)
     }
     n
@@ -118,7 +119,11 @@ object Enricher {
     *   every snapshot (unbounded time travel, unbounded disk)
     * @param maxChain delta-chain length that triggers a compacting full
     *   rewrite ([[graft.tables.TableIO.commitDelta]]) — the disk floor
-    *   under vacuum is one full chain, so GC granularity follows this */
+    *   under vacuum is one full chain, so GC granularity follows this
+    * @param vacuumGraceMs cross-process GC grace window: vacuum skips
+    *   victims younger than this (TableIO.vacuum minAgeMs) — 0 = immediate
+    *   collection (safe for this single-appender ticker; raise it when a
+    *   second process might read the table dir) */
   final case class Conf(
       minDocs: Long = 3,
       batch: Int = 10,
@@ -126,5 +131,6 @@ object Enricher {
       intervalMs: Long = 1000,
       focusBottomK: Int = 0,
       vacuumRetain: Int = 0,
-      maxChain: Int = 64)
+      maxChain: Int = 64,
+      vacuumGraceMs: Long = 0L)
 }

@@ -20,6 +20,16 @@ object Main {
 
   def parseArgs(args: Array[String]): Map[String, String] = Config.parseFlags(args)
 
+  /** Snapshot-GC knobs (vacuumRetain, maxChain, vacuumGraceMs) from the
+    * resolved config map — the same S7 precedence chain as everything else
+    * (flags --vacuumRetain=N etc., env GRAFT_VACUUM_RETAIN / GRAFT_MAX_CHAIN
+    * / GRAFT_VACUUM_GRACE_MS, conf file keys). Defaults: retain 2 roots
+    * (bounded disk out of the box), 64-delta compaction, 5-min grace. */
+  def gcKnobs(m: Map[String, String]): (Int, Int, Long) = (
+    m.getOrElse("vacuumRetain", "2").toInt,
+    m.getOrElse("maxChain", "64").toInt,
+    m.getOrElse("vacuumGraceMs", "300000").toLong)
+
   def confFrom(m: Map[String, String]): Pipeline.Conf = Pipeline.Conf(
     workDir = m.getOrElse("workDir", "/root/repo/target/kg-run"),
     nDocs = m.getOrElse("nDocs", "400").toLong,
@@ -44,9 +54,15 @@ object Main {
         .getOrCreate())
     spark.sparkContext.setLogLevel("WARN")
     val c = confFrom(opts)
+    val (vacuumRetain, maxChain, vacuumGraceMs) = gcKnobs(opts)
 
     val t0 = System.nanoTime()
     val out = Pipeline.run(spark, c)
+    // repeated --stage all runs on one workDir accrete snapshots exactly
+    // like enricher ticks do — GC the pipeline's three table dirs too
+    if (vacuumRetain > 0)
+      Seq(Pipeline.nodesDir(c), Pipeline.edgesDir(c), Pipeline.triplesDir(c))
+        .foreach(TableIO.vacuum(_, vacuumRetain, vacuumGraceMs))
 
     // optional enrichment pass (the reference's MineRandomRelationships /
     // enricher RunOnce, G6/G7) — one tick of the Enricher lifecycle
@@ -64,7 +80,9 @@ object Main {
       new Enricher(graft.graph.KgSession.open(spark, c.workDir), mentions,
         Enricher.Conf(
           minDocs = opts.getOrElse("enrichMinDocs", "3").toLong,
-          batch = max, maxRelationships = max.toLong)).runOnce()
+          batch = max, maxRelationships = max.toLong,
+          vacuumRetain = vacuumRetain, maxChain = maxChain,
+          vacuumGraceMs = vacuumGraceMs)).runOnce()
     }
 
     val wallSec = (System.nanoTime() - t0) / 1e9

@@ -170,8 +170,32 @@ object TableIO {
     * are out of scope (one driver per table dir). */
   private val repointLock = new Object
   private def repointCurrent(base: Path, n: Int): Unit = repointLock.synchronized {
-    if (currentSnapshotId(base.toString).forall(_ < n))
+    if (currentSnapshotId(base.toString).forall(_ < n)) {
       writeJsonAtomic(base.resolve("CURRENT"), f"snap-$n%05d")
+      logRoot(base, n)
+    }
+  }
+
+  /** Append a successfully-committed root id to the table's `_roots` log —
+    * the record of every id CURRENT has ever pointed at. [[vacuum]] picks
+    * its retained roots from this log, so snapshots that were claimed and
+    * written but never became CURRENT (e.g. left behind by a failed
+    * [[repointCurrentFrom]] CAS) cannot occupy retention slots and silently
+    * shrink the time-travel window below `retainLast` REAL roots. One id
+    * per line; appends are serialized by [[repointLock]]. */
+  private def logRoot(base: Path, n: Int): Unit =
+    Files.writeString(base.resolve("_roots"), f"snap-$n%05d%n",
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.APPEND)
+
+  /** Ids CURRENT has ever pointed at (committed roots), ascending. Tables
+    * written before the log existed have no `_roots` file → empty. */
+  private[tables] def rootLog(dir: String): Seq[Int] = {
+    val p = Paths.get(dir, "_roots")
+    if (!Files.exists(p)) Seq.empty
+    else Files.readAllLines(p).asScala.iterator
+      .map(_.trim).filter(_.startsWith("snap-"))
+      .map(_.stripPrefix("snap-").toInt).toSeq.distinct.sorted
   }
 
   /** CAS repoint for delta commits: advance CURRENT `expected → n`, failing
@@ -187,6 +211,7 @@ object TableIO {
             s"${cur.fold("<none>")(c => f"snap-$c%05d")} during the commit " +
             f"(concurrent appender?); snap-$n%05d left unreferenced")
       writeJsonAtomic(base.resolve("CURRENT"), f"snap-$n%05d")
+      logRoot(base, n)
     }
 
   /** (fileName, rowCount) per parquet file in a directory, via footers. */
@@ -280,14 +305,26 @@ object TableIO {
     * window stay intact — a retained root's whole delta chain is kept,
     * including base full snapshots older than the window.
     *
+    * Retention slots are COMMITTED ROOTS: ids the `_roots` log records as
+    * having been CURRENT (so an unreferenced snapshot left by a failed
+    * [[repointCurrentFrom]] CAS cannot eat a slot and shrink the
+    * time-travel window below `retainLast` real roots); tables predating
+    * the log degrade to {CURRENT} as the only root. After deletion the log
+    * is compacted to the retained roots.
+    *
     * Safety: ids GREATER than CURRENT are never touched (a concurrent
     * committer may have claimed the dir and still be writing into it),
     * and the scan-choose-delete runs under the table's appender lock so
-    * an in-JVM delta commit can't repoint CURRENT mid-vacuum. Deleting a
-    * snapshot a reader is mid-scan over is the usual object-store GC
-    * race — run vacuum from the single writer, with `retainLast` sized
-    * past the longest reader. Returns the deleted snapshot ids. */
-  def vacuum(dir: String, retainLast: Int = 2): Seq[Int] = {
+    * an in-JVM delta commit can't repoint CURRENT mid-vacuum. The lock is
+    * in-JVM only, so `minAgeMs` adds a cross-process grace window: a
+    * victim whose manifest (or snap dir) mtime is younger than `minAgeMs`
+    * is skipped this pass and collected by a later one — a misconfigured
+    * second process racing this writer degrades to harmless instead of
+    * losing a snapshot mid-commit. Deleting a snapshot a reader is
+    * mid-scan over is the usual object-store GC race — run vacuum from
+    * the single writer, with `retainLast` sized past the longest reader.
+    * Returns the deleted snapshot ids. */
+  def vacuum(dir: String, retainLast: Int = 2, minAgeMs: Long = 0L): Seq[Int] = {
     require(retainLast >= 1, s"retainLast must be >= 1, got $retainLast")
     val lock = appendLocks.computeIfAbsent(
       Paths.get(dir).toAbsolutePath.toString, _ => new Object)
@@ -296,9 +333,23 @@ object TableIO {
         case None => Seq.empty
         case Some(cur) =>
           val all = listSnapshots(dir)
-          val roots = all.filter(_ <= cur).takeRight(retainLast)
+          val exists = all.toSet
+          // committed roots only; CURRENT itself is always a root even if
+          // the table predates the _roots log
+          val roots = (rootLog(dir) :+ cur).distinct.sorted
+            .filter(r => r <= cur && exists.contains(r))
+            .takeRight(retainLast)
           val keep = roots.flatMap(r => snapshotChain(dir, r)).toSet
-          val victims = all.filter(n => n < cur && !keep.contains(n))
+          def youngerThanGrace(n: Int): Boolean = minAgeMs > 0 && {
+            val m = Paths.get(dir, "_manifest", f"snap-$n%05d.json")
+            val sd = Paths.get(dir, f"snap-$n%05d")
+            val stamp = Seq(m, sd).filter(Files.exists(_))
+              .map(Files.getLastModifiedTime(_).toMillis)
+            stamp.nonEmpty &&
+              System.currentTimeMillis() - stamp.max < minAgeMs
+          }
+          val victims = all.filter(n =>
+            n < cur && !keep.contains(n) && !youngerThanGrace(n))
           victims.foreach { n =>
             val snapDir = Paths.get(dir, f"snap-$n%05d")
             if (Files.exists(snapDir))
@@ -307,6 +358,11 @@ object TableIO {
             Files.deleteIfExists(
               Paths.get(dir, "_manifest", f"snap-$n%05d.json"))
           }
+          // compact the log to the retained roots (their snaps are the only
+          // reachable history left; dropped ids would never be retained again)
+          if (victims.nonEmpty && Files.exists(Paths.get(dir, "_roots")))
+            writeJsonAtomic(Paths.get(dir, "_roots"),
+              roots.map(r => f"snap-$r%05d").mkString("", "\n", "\n"))
           victims
       }
     }

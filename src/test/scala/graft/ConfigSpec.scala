@@ -40,6 +40,23 @@ class ConfigSpec extends AnyFunSuite {
     assert(viaFlag.nDocs == 789L)     // flag beats env beats file
   }
 
+  test("snapshot-GC knobs ride the same precedence chain (defaults < file < env < flags)") {
+    // defaults: bounded disk out of the box
+    assert(Main.gcKnobs(Config.resolve(Array.empty, env = Map.empty))
+      == ((2, 64, 300000L)))
+    val f = confFile("vacuumRetain: 5", "maxChain: 8")
+    val env = Map("GRAFT_VACUUM_RETAIN" -> "7", "GRAFT_VACUUM_GRACE_MS" -> "0")
+    // file beats default; env beats file; default survives where both silent
+    assert(Main.gcKnobs(Config.resolve(Array(s"--conf=$f"), Map.empty))
+      == ((5, 8, 300000L)))
+    assert(Main.gcKnobs(Config.resolve(Array(s"--conf=$f"), env))
+      == ((7, 8, 0L)))
+    // flag beats env
+    assert(Main.gcKnobs(Config.resolve(
+      Array(s"--conf=$f", "--vacuumRetain=3", "--maxChain=16"), env))
+      == ((3, 16, 0L)))
+  }
+
   test("conf path itself can come from env; flag wins") {
     val f1 = confFile("nDocs: 111")
     val f2 = confFile("nDocs: 222")

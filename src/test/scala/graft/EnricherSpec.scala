@@ -102,4 +102,22 @@ class EnricherSpec extends SparkSuite {
     assert(kg.edges.count() == before + 6)
     left.foreach(s => kg.edgesAt(s).count())
   }
+
+  // uses its own workDir — independent of the shared kg table above
+  test("run.Main: repeated full runs on one workDir keep bounded snapshot dirs (GC wired end-to-end)") {
+    val wd = tmpDir("mainVac")
+    val args = Array(s"--workDir=$wd", "--nDocs=220", "--nBuckets=4",
+      "--vacuumRetain=1", "--vacuumGraceMs=0", "--stopSession=false")
+    graft.run.Main.main(args)
+    graft.run.Main.main(args) // re-run accretes one more snapshot per table
+    import graft.run.{Config, Main, Pipeline}
+    val c = Main.confFrom(Config.resolve(args, env = Map.empty))
+    // retain-1 GC through the documented entry point: each table dir holds
+    // exactly the second run's snapshot — without the Main wiring this
+    // would be Seq(0, 1) growing per run
+    Seq(Pipeline.nodesDir(c), Pipeline.edgesDir(c), Pipeline.triplesDir(c))
+      .foreach { d =>
+        assert(graft.tables.TableIO.listSnapshots(d) == Seq(1), d)
+      }
+  }
 }

@@ -84,13 +84,65 @@ class MediaCodecSpec extends SparkSuite {
       "g03-gray3x1" -> ("img", Seq[Float](3, 1, 128000, 128000, 128000, 128000, 0, 3000)),
       "g04-wav5"    -> ("wav", Seq[Float](8000, 1, 5, 16, 140, 300, 3, 0)),
       "g05-au3"     -> ("wav", Seq[Float](8000, 1, 3, 16, 3, 5, 1, 0)),
-      "g06-aiff4"   -> ("wav", Seq[Float](4000, 1, 4, 16, 1000, 1000, 3, 1)))
+      "g06-aiff4"   -> ("wav", Seq[Float](4000, 1, 4, 16, 1000, 1000, 3, 1)),
+      // decodeImage reads the animated golden's FIRST frame = the 4×1 quad
+      "g07-agif2f"  -> ("img", Seq[Float](4, 1, 127500, 127500, 127500, 127250, 7331, 4000)),
+      // hand-written WBMP white/black//black/white: sums 510 → 127500‰,
+      // var ⌊130050/4⌋ − 127² = 16383
+      "g08-wbmp2x2" -> ("img", Seq[Float](2, 2, 127500, 127500, 127500, 127500, 16383, 1000)))
     val rows = MediaPayloads.goldenTable
     assert(rows.map(_._1).toSet == expected.keySet)
     rows.foreach { case (id, bytes) =>
       val (fmt, f) = MediaCodec.decodeReal(bytes).get
       assert((fmt, f.toSeq) == expected(id), id)
     }
+  }
+
+  test("golden animated GIF: per-frame features match the hand derivations") {
+    // the same literal rows embedded in the q_frame_sample_golden oracle —
+    // sampleFrames(k=4) over n=2 frames lands src = ⌊i·2/4⌋ = 0,0,1,1;
+    // frame 0 = the 4×1 quad, frame 1 = uniform 0x808080 gray
+    val bytes = MediaPayloads.goldenTable.toMap.apply("g07-agif2f")
+    val Some((n, samples)) = MediaCodec.sampleFrames(bytes, 4)
+    assert(n == 2)
+    assert(samples.map(s => (s._1, s._2)) == Seq((0, 0), (1, 0), (2, 1), (3, 1)))
+    val quadRow = Seq[Float](4, 1, 127500, 127500, 127500, 127250, 7331, 4000)
+    val grayRow = Seq[Float](4, 1, 128000, 128000, 128000, 128000, 0, 4000)
+    assert(samples(0)._3.toSeq == quadRow)
+    assert(samples(1)._3.toSeq == quadRow)
+    assert(samples(2)._3.toSeq == grayRow)
+    assert(samples(3)._3.toSeq == grayRow)
+    // the WBMP golden is a 1-frame sequence through the frames path too
+    val wbmp = MediaPayloads.goldenTable.toMap.apply("g08-wbmp2x2")
+    val Some((nw, sw)) = MediaCodec.sampleFrames(wbmp, 4)
+    assert(nw == 1 && sw.map(_._2) == Seq(0, 0, 0, 0))
+    sw.foreach(s => assert(s._3.toSeq ==
+      Seq[Float](2, 2, 127500, 127500, 127500, 127500, 16383, 1000)))
+  }
+
+  test("golden resize: NN into a 4×4 box matches the hand derivations") {
+    // the same literal rows embedded in the q_media_resize_golden oracle.
+    // 2×2 quad → 4×4 (each pixel duplicated 2×2: sums ×4, means unchanged,
+    // var unchanged, aspect 1000); 4×1 rows fit (4,4) as the identity;
+    // 3×1 gray → 4×1 (sx = ⌊x·3/4⌋ = 0,0,1,2 — all gray);
+    // 2×2 WBMP → 4×4 duplication (means/var scale-invariant here)
+    val g = MediaPayloads.goldenTable.toMap
+    def feats(id: String): (Int, Int, Int, Int, Seq[Float]) = {
+      val Some((w, h, ow, oh, png)) = MediaCodec.resizeImage(g(id), 4, 4)
+      (w, h, ow, oh, MediaCodec.decodeImage(png).get.toSeq.drop(2))
+    }
+    assert(feats("g00-png2x2") ==
+      (2, 2, 4, 4, Seq[Float](127500, 127500, 127500, 127250, 7331, 1000)))
+    assert(feats("g01-bmp2x2") ==
+      (2, 2, 4, 4, Seq[Float](127500, 127500, 127500, 127250, 7331, 1000)))
+    assert(feats("g02-gif4x1") ==
+      (4, 1, 4, 1, Seq[Float](127500, 127500, 127500, 127250, 7331, 4000)))
+    assert(feats("g03-gray3x1") ==
+      (3, 1, 4, 1, Seq[Float](128000, 128000, 128000, 128000, 0, 4000)))
+    assert(feats("g07-agif2f") == // resize reads frame 0 (ImageIO.read)
+      (4, 1, 4, 1, Seq[Float](127500, 127500, 127500, 127250, 7331, 4000)))
+    assert(feats("g08-wbmp2x2") ==
+      (2, 2, 4, 4, Seq[Float](127500, 127500, 127500, 127500, 16383, 1000)))
   }
 
   test("hostile bytes: garbage, empty and null all decode to None, never throw") {

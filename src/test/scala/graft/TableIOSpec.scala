@@ -260,6 +260,41 @@ class TableIOSpec extends SparkSuite {
     assert(TableIO.readCurrent(spark, dir).count() == 5)
   }
 
+  test("vacuum: unreferenced snapshots (failed-CAS leftovers) never occupy retention slots") {
+    val dir = tmpDir("vacUnref")
+    TableIO.commitSnapshot(Seq((1L, "a")).toDF("id", "src"), dir, "t") // 0 full
+    TableIO.commitDelta(Seq((2L, "b")).toDF("id", "src"), dir, "t")    // 1 Δ0
+    // a snapshot that was claimed+written but whose repoint CAS failed:
+    // on disk, never CURRENT, absent from the _roots log
+    Files.createDirectory(Paths.get(dir, "snap-00002"))
+    TableIO.commitDelta(Seq((3L, "c")).toDF("id", "src"), dir, "t")    // 3 Δ1
+    // retention slots must be COMMITTED roots {1, 3} (chains cover 0 too),
+    // not the newest ids {2, 3} — under newest-ids retention the garbage
+    // snap 2 would eat root 1's slot AND survive the vacuum itself
+    assert(TableIO.vacuum(dir, retainLast = 2) == Seq(2))
+    assert(TableIO.listSnapshots(dir) == Seq(0, 1, 3))
+    assert(TableIO.readCurrent(spark, dir).count() == 3)
+    assert(TableIO.readSnapshot(spark, dir, 1).count() == 2) // window intact
+  }
+
+  test("vacuum minAgeMs grace: fresh victims are skipped, backdated ones collected") {
+    val dir = tmpDir("vacGrace")
+    TableIO.commitSnapshot(Seq((1L, "a")).toDF("id", "src"), dir, "t") // 0 full
+    TableIO.commitSnapshot(Seq((1L, "a"), (2L, "b")).toDF("id", "src"), dir, "t") // 1
+    TableIO.commitSnapshot((1L to 3L).map((_, "c")).toDF("id", "src"), dir, "t") // 2
+    // victim snap 0 was written seconds ago: inside a 1h grace window a
+    // (possibly cross-process) reader could still be mid-scan — skip it
+    assert(TableIO.vacuum(dir, retainLast = 2, minAgeMs = 3600000L).isEmpty)
+    assert(TableIO.listSnapshots(dir) == Seq(0, 1, 2))
+    // backdate the victim's manifest AND dir two hours: now collectable
+    val old = java.nio.file.attribute.FileTime.fromMillis(
+      System.currentTimeMillis() - 7200000L)
+    Files.setLastModifiedTime(Paths.get(dir, "_manifest", "snap-00000.json"), old)
+    Files.setLastModifiedTime(Paths.get(dir, "snap-00000"), old)
+    assert(TableIO.vacuum(dir, retainLast = 2, minAgeMs = 3600000L) == Seq(0))
+    assert(TableIO.readCurrent(spark, dir).count() == 3)
+  }
+
   test("vacuum under a ticking enricher: 100 delta ticks, bounded snap dirs, reads stay exact") {
     val dir = tmpDir("vacSoak")
     TableIO.commitSnapshot(Seq((0L, "base")).toDF("id", "src"), dir, "t")
