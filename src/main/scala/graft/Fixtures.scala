@@ -67,7 +67,9 @@ object Fixtures {
     // parity in a way that masquerades as executor-vs-driver divergence
     val jdkTag = sys.props.getOrElse("java.version", "unknown")
       .replaceAll("[^0-9A-Za-z._-]", "_")
-    val ready = Paths.get(r, s"_READY_v11_jdk$jdkTag")
+    // v12: pipeline extraction switched to the columnar ExtractTriplesExpr
+    // path — regenerate so fixtures are built by the production kernel
+    val ready = Paths.get(r, s"_READY_v12_jdk$jdkTag")
     if (Files.exists(ready)) return r
     import spark.implicits._
 

@@ -122,4 +122,24 @@ object Extract extends Serializable {
 
   def broadcastDict(spark: SparkSession, patterns: Iterable[String]): Broadcast[AhoCorasick] =
     spark.sparkContext.broadcast(AhoCorasick(patterns))
+
+  /** Columnar raw-triple extraction — same semantics as [[rawTriples]], but
+    * via the native [[ExtractTriplesExpr]] over the `spans` column: no
+    * Doc/Span/String materialization, no RawTriple re-encode, and the whole
+    * scan → extract → explode pipeline stays inside whole-stage codegen.
+    * This is the throughput path Pipeline uses; the typed kernel remains the
+    * reference implementation (bench host probes + parity specs call it).
+    * Input must carry (doc_id, spans); output columns match
+    * `rawTriples(...).toDF()` exactly. */
+  def rawTriplesCols(
+      docs: org.apache.spark.sql.DataFrame,
+      dict: Broadcast[ByteAhoCorasick],
+      preds: Broadcast[ByteAhoCorasick]): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{col, explode}
+    docs.select(col("doc_id"),
+        explode(ExtractTriplesExpr.extractTriples(col("spans"), dict, preds)).as("t"))
+      .select(col("doc_id"), col("t.span_idx"), col("t.subj"), col("t.pred"),
+        col("t.obj"), col("t.subj_grounded"), col("t.obj_grounded"),
+        col("t.media_ref"), col("t.conf"))
+  }
 }

@@ -1,10 +1,9 @@
 package graft.run
 
 import graft.corpus.{DeterministicCorpus, Golden}
-import graft.extract.{AhoCorasick, Extract}
+import graft.extract.{ByteAhoCorasick, Extract}
 import graft.graph.Materialize
 import graft.link.EntityLink
-import graft.model.Doc
 import graft.tables.TableIO
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -88,23 +87,37 @@ object Pipeline {
 
     val aliases = phase("aliases")(spark.read.parquet(aliasesPath(c)))
     val aliasList = phase("aliasCollect")(aliases.select("alias").as[String].collect())
+    // byte-level automata, broadcast once per executor; see
+    // ExtractTriplesExpr for why the columnar kernel is the throughput path
     val (dict, predGrammar) = phase("dicts")((
-      Extract.broadcastDict(spark, aliasList),
-      Extract.broadcastDict(spark, Golden.triples(c.goldenDir).map(_.pred).distinct)))
+      spark.sparkContext.broadcast(ByteAhoCorasick(aliasList)),
+      spark.sparkContext.broadcast(
+        ByteAhoCorasick(Golden.triples(c.goldenDir).map(_.pred).distinct))))
 
     // stage 1: extraction kernel plan (no materialization of its own —
     // fused into the pre-aggregate job below)
+    // A/B safety valve: GRAFT_EXTRACT_TYPED=1 falls back to the typed
+    // object-mode kernel (reference implementation) — used to measure the
+    // columnar expression's gain in one weather window, and as an escape
+    // hatch if a corpus ever trips an expression-path defect in production
+    val typedPath = sys.env.get("GRAFT_EXTRACT_TYPED").exists(_ != "0")
+    def typedRaw(in: DataFrame): DataFrame = {
+      import spark.implicits._
+      val bc = Extract.broadcastDict(spark, aliasList)
+      val pc = Extract.broadcastDict(spark, Golden.triples(c.goldenDir).map(_.pred).distinct)
+      Extract.rawTriples(in.as[graft.model.Doc], bc, pc).toDF()
+    }
     val raw =
       if (c.fastExtract) {
-        val docs = spark.read.parquet(docsDir(c)).drop("bucket").as[Doc]
-        Extract.rawTriples(docs, dict, predGrammar).toDF()
+        val docs = spark.read.parquet(docsDir(c)).drop("bucket")
+        if (typedPath) typedRaw(docs) else Extract.rawTriplesCols(docs, dict, predGrammar)
       } else {
         // resumable path: per-bucket extraction snapshots (one extra corpus
         // write+read buys partition-granular restart)
         phase("extractBucketed")(
           TableIO.runBucketed(spark, "extract", docsDir(c), extractDir(c),
             c.nBuckets, c.concurrency) { in =>
-            Extract.rawTriples(in.drop("bucket").as[Doc], dict, predGrammar).toDF()
+            Extract.rawTriplesCols(in.drop("bucket"), dict, predGrammar)
           })
       }
 
