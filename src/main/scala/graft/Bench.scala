@@ -450,10 +450,18 @@ object Bench {
         case (Some(a), Some(b)) => (b.triples / b.wall) / (ratio * (a.triples / a.wall))
         case _ => 0.0 // no clean pair yet → keep trying
       }
+    // acceptance band: eff ≥ 0.8 (the contract target) AND ≤ 1.0 — an
+    // eff above 1.0 is physically impossible for this pipeline (clean
+    // pairs historically max at 0.991), so it means the N-side ran
+    // degraded-but-inside-its-ceiling and the pair flatters scaling; keep
+    // searching for a window where the N-side is genuinely clean rather
+    // than accepting a too-good-to-be-true ratio (the 2026-08-18 eff-1.008
+    // pair: N-side CPU 295 vs the 235 historical clean floor, admitted
+    // only because the floor predated the faster columnar kernel).
     while (attempt < maxAttempts &&
         (attempt == 0 || // the first attempt always runs, whatever the budget
           ((System.currentTimeMillis() - loopT0) < budgetMs &&
-            (effSoFar < 0.8 || effSoFar > 1.02)))) {
+            (effSoFar < 0.8 || effSoFar > 1.0)))) {
       if (attempt > 0) {
         val cd = cooldownFor(attempt)
         System.err.println(s"COOLDOWN ${cd}ms (eff so far: $effSoFar, " +
@@ -687,7 +695,12 @@ object Bench {
          |throttle exposure.
          |
          |**Scaling efficiency (N→4N) = tput(4N) / (4·tput(N)) = $eff%.3f**
-         |(target ≥ 0.8, BASELINE.json). The box's capacity drifts between
+         |(target ≥ 0.8, BASELINE.json).${if (eff > 1.0)
+             " **This invocation's ratio exceeds 1.0, which is physically" +
+             " impossible for this pipeline** — the N-side ran degraded but" +
+             " inside its (stale) per-level ceiling; such rows are excluded" +
+             " from the clean-pair medians below, which are the figures to" +
+             " trust." else ""} The box's capacity drifts between
          |runs (see below), so `bench_history.jsonl` records every run:
          |${if (cleanEffs.nonEmpty)
              f"**median of the ${cleanEffs.size} clean pairs at this corpus+levels: $bestEff%.3f** (max $maxEff%.3f — the median is the robust figure: the max one-sidedly selects pairs whose N-side ran slow-but-in-ceiling), best local[$hiLvl] wall **$bestT16%.2f s** (${nN / bestT16}%.0f triples/sec). Legacy rows at >8-thread pairs (admitted under the old 2.2× ceiling, e.g. the 4,16 eff-0.470 row) are excluded until re-measured under the current schedule."
