@@ -97,6 +97,11 @@ class ExtractExprParitySpec extends SparkSuite {
       spark.createDataset(docs).toDF(), byteDict, bytePred)
     val physical = df.queryExecution.executedPlan.toString()
     assert(physical.contains("extract_triples"), physical)
+    // the Generate must sit INSIDE a whole-stage-codegen span ("*(n)"
+    // prefix), proving doGenCode composes instead of falling back to an
+    // interpreted Generate island
+    assert(physical.linesIterator.exists(l =>
+      l.contains("Generate") && l.contains("*(")), physical)
     assert(!physical.contains("DeserializeToObject"),
       s"columnar path must not decode Doc objects:\n$physical")
     assert(!physical.contains("MapPartitions"),
