@@ -67,9 +67,11 @@ object Fixtures {
     // parity in a way that masquerades as executor-vs-driver divergence
     val jdkTag = sys.props.getOrElse("java.version", "unknown")
       .replaceAll("[^0-9A-Za-z._-]", "_")
-    // v12: pipeline extraction switched to the columnar ExtractTriplesExpr
-    // path — regenerate so fixtures are built by the production kernel
-    val ready = Paths.get(r, s"_READY_v12_jdk$jdkTag")
+    // v13 (r07): pipeline link+preagg restructured to the surface-aggregated
+    // path and the extraction kernel to scratch-array selection — regenerate
+    // so fixtures are built by the production path (results must be
+    // identical; the oracle re-derivation is what proves it)
+    val ready = Paths.get(r, s"_READY_v13_jdk$jdkTag")
     if (Files.exists(ready)) return r
     import spark.implicits._
 

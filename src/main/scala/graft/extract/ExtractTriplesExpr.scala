@@ -41,15 +41,27 @@ case class ExtractTriplesExpr(
   override def dataType: DataType = ExtractTriplesExpr.outType
   override def nullable: Boolean = false
 
+  // exactly the 4-field Span shape: compute reads structs with
+  // getStruct(idx, 4), so a narrower struct must be rejected here rather
+  // than silently read with the wrong field count
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(st: StructType, _)
-        if st.length >= 3 &&
+        if st.length == 4 &&
           st(0).dataType == StringType && st(1).dataType == StringType &&
           st(2).dataType == StringType =>
       TypeCheckResult.TypeCheckSuccess
     case other => TypeCheckResult.TypeCheckFailure(
-      s"extract_triples requires array<struct<kind:string,text:string,media_ref:string,...>>, got ${other.sql}")
+      s"extract_triples requires array<struct<kind:string,text:string,media_ref:string,offset:int>>, got ${other.sql}")
   }
+
+  // a null spans array (schema-legal: parquet arrays are nullable) yields
+  // zero triples on BOTH paths: compute null-guards, and eval is overridden
+  // so the interpreted path doesn't short-circuit to null before compute —
+  // keeping the nullable=false declaration honest under codegen, where
+  // defineCodeGen passes the child value through unchecked
+  override def eval(input: InternalRow): Any =
+    ExtractTriplesExpr.compute(
+      child.eval(input).asInstanceOf[ArrayData], dict.value, preds.value)
 
   override protected def nullSafeEval(input: Any): Any =
     ExtractTriplesExpr.compute(input.asInstanceOf[ArrayData], dict.value, preds.value)
@@ -93,6 +105,31 @@ object ExtractTriplesExpr {
 
   private val MEDIA = UTF8String.fromString("media")
   private val EMPTY = UTF8String.fromString("")
+  // confidence constants pre-boxed once (java.lang.Double has no box cache —
+  // the old code allocated a fresh box per emitted row)
+  private val ConfDict: java.lang.Double = 1.0
+  private val ConfOpen: java.lang.Double = 0.8
+  private val TRUE: java.lang.Boolean = java.lang.Boolean.TRUE
+  private val FALSE: java.lang.Boolean = java.lang.Boolean.FALSE
+  @inline private def box(b: Boolean): java.lang.Boolean = if (b) TRUE else FALSE
+  private val EmptyResult = new GenericArrayData(Array.empty[Any])
+
+  /** Per-thread reusable buffers: automaton hit arrays for both automata
+    * plus the output row accumulator. Expression evaluation is single-
+    * threaded per task, so a ThreadLocal is race-free; one get() per doc. */
+  private final class Scratch {
+    val dictHits = new MatchScratch
+    val predHits = new MatchScratch
+    var rows = new Array[InternalRow](8)
+    var nRows = 0
+    def addRow(r: InternalRow): Unit = {
+      if (nRows == rows.length) rows = java.util.Arrays.copyOf(rows, rows.length * 2)
+      rows(nRows) = r; nRows += 1
+    }
+  }
+  private val scratch = new ThreadLocal[Scratch] {
+    override def initialValue(): Scratch = new Scratch
+  }
 
   @inline private def trimWs(b: Array[Byte], from0: Int, until0: Int): (Int, Int) = {
     // String.trim semantics: strip chars <= ' ' from both ends (in UTF-8
@@ -118,9 +155,16 @@ object ExtractTriplesExpr {
   @inline private def slice(b: Array[Byte], from: Int, until: Int): UTF8String =
     UTF8String.fromBytes(b, from, until - from)
 
-  /** Static kernel target for interpreted eval AND generated code. */
+  /** Static kernel target for interpreted eval AND generated code.
+    * Semantics identical to the pre-scratch implementation (pinned by
+    * ExtractExprParitySpec against the typed kernel); the per-span work is
+    * now allocation-free — hits land in reusable parallel int arrays
+    * (ByteAhoCorasick.leftmostLongestInto), pattern surfaces are shared
+    * UTF8Strings, and conf/bool boxes are cached. */
   def compute(spans: ArrayData, dict: ByteAhoCorasick, preds: ByteAhoCorasick): ArrayData = {
-    val out = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
+    if (spans == null) return EmptyResult // null array = no spans, both paths
+    val sc = scratch.get()
+    sc.nRows = 0
     // lastMedia is cloned out of the (possibly reused) input buffer; the
     // emitted rows outlive this eval call inside Generate
     var lastMedia: UTF8String = EMPTY
@@ -128,54 +172,60 @@ object ExtractTriplesExpr {
     var idx = 0
     while (idx < n) {
       val sp = spans.getStruct(idx, 4)
-      val kind = sp.getUTF8String(0)
-      if (kind != null && kind.equals(MEDIA)) {
-        val m = sp.getUTF8String(2)
-        lastMedia = if (m == null) EMPTY else m.clone()
-      } else {
-        val text = sp.getUTF8String(1)
-        if (text != null) {
-          // compact copy of this span's bytes (UnsafeRow-backed strings are
-          // offset views, so getBytes copies exactly once); all emitted
-          // slices wrap THIS private array — no further copies
-          val bytes = text.getBytes
-          val len = bytes.length
-          val ms = dict.leftmostLongest(bytes, len)
-          if (ms.length >= 2) {
-            val s = ms.head
-            val o = ms.last
-            val (pf, pu) = trimWs(bytes, s.end, o.start)
-            out += new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
-              Array[Any](idx,
-                UTF8String.fromBytes(dict.patternBytes(s.patIdx)),
-                slice(bytes, pf, pu),
-                UTF8String.fromBytes(dict.patternBytes(o.patIdx)),
-                true, true, lastMedia, 1.0))
-          } else {
-            val ps = preds.leftmostLongest(bytes, len)
-            if (ps.nonEmpty) {
-              val p = ps.head
-              val m1 = if (ms.nonEmpty) ms.head else null
-              val subjIsMention = m1 != null && m1.end <= p.start
-              val objIsMention = m1 != null && m1.start >= p.end
-              val subj =
-                if (subjIsMention) UTF8String.fromBytes(dict.patternBytes(m1.patIdx))
-                else { val (f, u) = trimPunct(bytes, 0, p.start); slice(bytes, f, u) }
-              val obj =
-                if (objIsMention) UTF8String.fromBytes(dict.patternBytes(m1.patIdx))
-                else { val (f, u) = trimPunct(bytes, p.end, len); slice(bytes, f, u) }
-              if (subj.numBytes() > 0 && obj.numBytes() > 0)
-                out += new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
-                  Array[Any](idx, subj,
-                    UTF8String.fromBytes(preds.patternBytes(p.patIdx)),
-                    obj, subjIsMention, objIsMention, lastMedia, 0.8))
+      if (sp != null) { // null span elements are schema-legal; skip them
+        val kind = sp.getUTF8String(0)
+        if (kind != null && kind.equals(MEDIA)) {
+          val m = sp.getUTF8String(2)
+          lastMedia = if (m == null) EMPTY else m.clone()
+        } else {
+          val text = sp.getUTF8String(1)
+          if (text != null) {
+            // compact copy of this span's bytes (UnsafeRow-backed strings are
+            // offset views, so getBytes copies exactly once); all emitted
+            // slices wrap THIS private array — no further copies
+            val bytes = text.getBytes
+            val len = bytes.length
+            val nm = dict.leftmostLongestInto(bytes, len, sc.dictHits)
+            val dh = sc.dictHits
+            if (nm >= 2) {
+              val (pf, pu) = trimWs(bytes, dh.ends(0), dh.starts(nm - 1))
+              sc.addRow(new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+                Array[Any](idx,
+                  dict.patternUtf8(dh.pats(0)),
+                  slice(bytes, pf, pu),
+                  dict.patternUtf8(dh.pats(nm - 1)),
+                  TRUE, TRUE, lastMedia, ConfDict)))
+            } else {
+              val np = preds.leftmostLongestInto(bytes, len, sc.predHits)
+              if (np > 0) {
+                val ph = sc.predHits
+                val pStart = ph.starts(0); val pEnd = ph.ends(0)
+                val subjIsMention = nm > 0 && dh.ends(0) <= pStart
+                val objIsMention = nm > 0 && dh.starts(0) >= pEnd
+                val subj =
+                  if (subjIsMention) dict.patternUtf8(dh.pats(0))
+                  else { val (f, u) = trimPunct(bytes, 0, pStart); slice(bytes, f, u) }
+                val obj =
+                  if (objIsMention) dict.patternUtf8(dh.pats(0))
+                  else { val (f, u) = trimPunct(bytes, pEnd, len); slice(bytes, f, u) }
+                if (subj.numBytes() > 0 && obj.numBytes() > 0)
+                  sc.addRow(new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+                    Array[Any](idx, subj,
+                      preds.patternUtf8(ph.pats(0)),
+                      obj, box(subjIsMention), box(objIsMention), lastMedia, ConfOpen)))
+              }
             }
           }
         }
       }
       idx += 1
     }
-    new GenericArrayData(out.toArray)
+    if (sc.nRows == 0) EmptyResult
+    else {
+      val arr = new Array[Any](sc.nRows)
+      System.arraycopy(sc.rows, 0, arr, 0, sc.nRows)
+      new GenericArrayData(arr)
+    }
   }
 
   def extractTriples(

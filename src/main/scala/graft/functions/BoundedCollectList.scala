@@ -63,15 +63,22 @@ case class BoundedCollectList(
     }
   }
 
-  private def add(buffer: mutable.ArrayBuffer[Any], v: Any): mutable.ArrayBuffer[Any] = {
+  /** `copied=false` defers the element copy until the element is actually
+    * RETAINED: on a full buffer the hot path (one more row of an
+    * already-full group — the overwhelming case at corpus scale) is one
+    * interpreted compare against the heap root and NO copy; the old code
+    * deep-copied the struct (strings included) for every input row before
+    * deciding to discard it (r07). The compare is safe on the uncopied
+    * value — it only reads fields of the still-live input row. */
+  private def add(buffer: mutable.ArrayBuffer[Any], v: Any, copied: Boolean): mutable.ArrayBuffer[Any] = {
     if (buffer.length < limit) {
-      buffer += v
+      buffer += (if (copied) v else convertToBufferElement(v))
       if (buffer.length == limit) { // establish the heap once, on fill
         var i = limit / 2 - 1
         while (i >= 0) { siftDown(buffer, i); i -= 1 }
       }
     } else if (ordering.compare(v, buffer(0)) < 0) {
-      buffer(0) = v
+      buffer(0) = if (copied) v else convertToBufferElement(v)
       siftDown(buffer, 0)
     }
     buffer
@@ -79,12 +86,12 @@ case class BoundedCollectList(
 
   override def update(buffer: mutable.ArrayBuffer[Any], input: InternalRow): mutable.ArrayBuffer[Any] = {
     val value = child.eval(input)
-    if (value != null) add(buffer, convertToBufferElement(value)) else buffer
+    if (value != null) add(buffer, value, copied = false) else buffer
   }
 
   override def merge(buffer: mutable.ArrayBuffer[Any], other: mutable.ArrayBuffer[Any]): mutable.ArrayBuffer[Any] = {
     var i = 0
-    while (i < other.length) { add(buffer, other(i)); i += 1 }
+    while (i < other.length) { add(buffer, other(i), copied = true); i += 1 }
     buffer
   }
 

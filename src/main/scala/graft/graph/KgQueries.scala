@@ -98,9 +98,20 @@ object KgQueries {
         Window.partitionBy("doc_id").orderBy(col("n_m").desc, col("canonical").asc)))
       .filter(col("rk") <= maxPerDoc)
       .select("doc_id", "canonical")
-    val l = m.select(col("doc_id"), col("canonical").as("a"))
-    val r = m.select(col("doc_id"), col("canonical").as("b"))
-    l.join(r, Seq("doc_id")).filter(col("a") < col("b"))
+    // per-doc pairing via a capped per-doc list + codegen'd array pair
+    // explosion (r07, guide §2.4): the former doc_id SELF-JOIN evaluated the
+    // whole mentions→count→window subtree TWICE and sort-merge-joined the
+    // copies — two extra corpus-scale exchanges plus sorts. The list is
+    // bounded by maxPerDoc, so the explosion is ≤ maxPerDoc² structs per
+    // doc, map-side, and the groupBy(doc_id) reuses the window's
+    // partitioning (no new exchange). Pair semantics are identical: one
+    // (a, b) row per doc with a < b, list order irrelevant.
+    val lists = m.groupBy("doc_id").agg(collect_list(col("canonical")).as("cs"))
+    lists
+      .select(explode(flatten(transform(col("cs"), x =>
+        transform(col("cs"), y => struct(x.as("a"), y.as("b")))))).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+      .filter(col("a") < col("b"))
       .groupBy("a", "b").agg(count(lit(1)).as("n_docs"))
   }
 

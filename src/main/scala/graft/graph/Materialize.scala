@@ -131,6 +131,43 @@ object Materialize {
           struct(col("doc_id"), col("span_idx"), col("media_ref")),
           ProvenanceCap).as("provenance"))
 
+  /** Stage A without per-row linking (r07, guide §8 "decide with small
+    * rows"): when no alias is ambiguous, the canonical endpoint and its
+    * score are pure functions of the raw surface string — so the
+    * corpus-scale stream is FIRST collapsed to one row per distinct raw
+    * (subj, pred, obj) (count + bounded provenance exemplars), and the
+    * broadcast alias joins + the validName candidate gate then run on the
+    * dictionary-scale aggregate instead of per corpus row. Output is
+    * row-identical to `preAggregate(EntityLink.link(...))`:
+    *  - n_obs: raw-surface groups partition each canonical group, so the
+    *    counts sum exactly;
+    *  - provenance: the K smallest of a union of per-group K-smallest sets
+    *    is the K smallest of the union (each (doc_id, span_idx) appears in
+    *    exactly one raw group);
+    *  - score_sum: the score is constant within a raw group, so
+    *    Σ_rows score = n·score per group (the summation-order FP wiggle is
+    *    absorbed by the round(…,6) that already guards the distributed
+    *    partial-sum order downstream).
+    * `rawValid` must already carry the validPred filter. */
+  def preAggregateBySurface(rawValid: DataFrame, aliases: DataFrame): DataFrame = {
+    val surfAgg = rawValid
+      .groupBy(col("subj"), col("pred"), col("obj"))
+      .agg(
+        count(lit(1)).as("n0"),
+        bounded_collect_list(
+          struct(col("doc_id"), col("span_idx"), col("media_ref")),
+          ProvenanceCap).as("prov0"))
+    graft.link.EntityLink.linkAggregated(surfAgg, aliases)
+      .groupBy(col("subj"), col("pred"), col("obj"))
+      .agg(
+        // coalesce only to pin the non-nullable schema count(1) had — the
+        // sum over a group is never actually null
+        coalesce(sum(col("n0")), lit(0L)).as("n_obs"),
+        sum(col("n0") * col("score")).as("score_sum"),
+        slice(sort_array(flatten(collect_list(col("prov0")))), 1, ProvenanceCap)
+          .as("provenance"))
+  }
+
   /** Stage B: canonical MERGE on the dictionary-scale pre-aggregate —
     * endpoint remap through the broadcast resolve map, then the final
     * (src,dst,pred) merge. Provenance exemplars from the variant groups are

@@ -38,6 +38,34 @@ object EntityLink {
     (vec, norms)
   }
 
+  /** True iff some alias maps to >1 canonical — the gate between the
+    * per-surface fast link (canonical + score are pure functions of the
+    * surface string) and the per-document contextual slow path. ONE tiny
+    * aggregate job over the dictionary-sized alias table. */
+  def hasAmbiguity(aliases: DataFrame): Boolean =
+    aliases.groupBy("alias").agg(countDistinct("canonical").as("n_cands"))
+      .filter(col("n_cands") > 1).limit(1).count() > 0
+
+  /** Per-surface resolution of both roles over an ALREADY-AGGREGATED frame
+    * (one row per distinct raw (subj, pred, obj)) — valid ONLY when
+    * [[hasAmbiguity]] is false, so resolution needs no document context.
+    * Same fast-path semantics as [[link]]: broadcast alias join, candidate
+    * validity gate, score = alias prior (or the 0.3 candidate floor);
+    * rows whose endpoints both fail resolution are dropped. Returns the
+    * input columns with subj/obj replaced by canonical names plus `score`
+    * (the per-row subj·obj score product). The frame is dictionary-scale,
+    * so the expensive validName CASE runs per distinct surface, not per
+    * corpus row (r07, guide §8). */
+  def linkAggregated(agg: DataFrame, aliases: DataFrame): DataFrame = {
+    val uniqueAliases = aliases.select("alias", "canonical", "prior")
+    val s1 = linkSimple(agg, uniqueAliases, null, null, null, "subj")
+    val s2 = linkSimple(s1, uniqueAliases, null, null, null, "obj")
+    val rest = agg.columns.filterNot(c => c == "subj" || c == "obj").map(col)
+    s2.filter(col("subj_canon").isNotNull && col("obj_canon").isNotNull)
+      .select(Seq(col("subj_canon").as("subj"), col("obj_canon").as("obj"),
+        (col("subj_score") * col("obj_score")).as("score")) ++ rest: _*)
+  }
+
   /** Full linking pass. Returns linked triples
     * (doc_id, span_idx, subj, pred, obj, media_ref, score) with canonical
     * endpoint names, invalid candidates dropped. */

@@ -86,7 +86,12 @@ object Pipeline {
     phase("ensureCorpus")(ensureCorpus(spark, c))
 
     val aliases = phase("aliases")(spark.read.parquet(aliasesPath(c)))
-    val aliasList = phase("aliasCollect")(aliases.select("alias").as[String].collect())
+    // (alias, canonical) pairs: the automaton dictionary AND the ambiguity
+    // gate come from one dictionary-scale collect — the gate used to be a
+    // separate Spark aggregate job in the fixed tail (r07)
+    val aliasPairs = phase("aliasCollect")(
+      aliases.select("alias", "canonical").as[(String, String)].collect())
+    val aliasList = aliasPairs.map(_._1)
     // byte-level automata, broadcast once per executor; see
     // ExtractTriplesExpr for why the columnar kernel is the throughput path
     val (dict, predGrammar) = phase("dicts")((
@@ -113,27 +118,40 @@ object Pipeline {
         if (typedPath) typedRaw(docs) else Extract.rawTriplesCols(docs, dict, predGrammar)
       } else {
         // resumable path: per-bucket extraction snapshots (one extra corpus
-        // write+read buys partition-granular restart)
+        // write+read buys partition-granular restart); the typed escape
+        // hatch applies here too (it used to silently no-op on this path)
         phase("extractBucketed")(
           TableIO.runBucketed(spark, "extract", docsDir(c), extractDir(c),
             c.nBuckets, c.concurrency) { in =>
-            Extract.rawTriplesCols(in.drop("bucket"), dict, predGrammar)
+            if (typedPath) typedRaw(in.drop("bucket"))
+            else Extract.rawTriplesCols(in.drop("bucket"), dict, predGrammar)
           })
       }
 
-    // stage 2: linking (broadcast joins; the corpus-text TF-IDF scan only
-    // evaluates when the dictionary actually contains ambiguous aliases)
-    val docsText = spark.read.parquet(docsDir(c))
-      .select(col("doc_id"), explode(col("spans")).as("s"))
-      .filter(col("s.kind") === "text")
-      .select(col("doc_id"), col("s.text").as("text"))
-    val linked = phase("linkPlan")(EntityLink.link(spark, raw, aliases, docsText))
-
-    // the ONE corpus-scale job: scan → extract → link → pre-aggregate to
-    // dictionary-scale (subj,pred,obj) rows. Everything after this line
-    // operates on tiny data.
-    val pre = phase("extractLinkAgg")(
-      Materialize.preAggregate(linked).localCheckpoint())
+    // stage 2+3 fused: linking + pre-aggregation. When no alias is
+    // ambiguous (the probe is ONE dictionary-scale job), the canonical
+    // endpoint is a pure function of the surface, so the corpus-scale
+    // stream is aggregated by raw surface FIRST and the broadcast alias
+    // joins + validName gate run on the dictionary-scale aggregate — the
+    // per-corpus-row work drops to filter + hash-aggregate update (r07,
+    // guide §8). With ambiguity the original per-row contextual link runs
+    // (TF-IDF context scoring needs the document, not just the surface).
+    val unambiguous = phase("linkPlan")(
+      !aliasPairs.groupBy(_._1).exists(_._2.map(_._2).distinct.length > 1))
+    val pre = phase("extractLinkAgg") {
+      val plan =
+        if (unambiguous)
+          Materialize.preAggregateBySurface(
+            raw.filter(graft.extract.Validity.validPred(col("pred"))), aliases)
+        else {
+          val docsText = spark.read.parquet(docsDir(c))
+            .select(col("doc_id"), explode(col("spans")).as("s"))
+            .filter(col("s.kind") === "text")
+            .select(col("doc_id"), col("s.text").as("text"))
+          Materialize.preAggregate(EntityLink.link(spark, raw, aliases, docsText))
+        }
+      plan.localCheckpoint()
+    }
 
     // stage 3: canonicalize + materialize on the pre-aggregate. Each table
     // is localCheckpoint'ed once (these are dictionary-scale frames), the

@@ -72,6 +72,46 @@ class EntityLinkSpec extends SparkSuite {
     assert(subjects == Set("Gradient Descent"))
   }
 
+  test("surface-aggregated preagg == per-row link+preagg on an unambiguous dictionary") {
+    // r07 equivalence pin for the guide-§8 restructure: on an unambiguous
+    // alias table, aggregating raw surfaces first and linking the
+    // dictionary-scale aggregate must reproduce preAggregate(link(...))
+    // row for row — n_obs, provenance (exact), score_sum (up to the same
+    // FP summation wiggle round(…,6) already absorbs; compared at 1e-9)
+    val unambiguous = aliases.filter($"alias" =!= "Mercury")
+    assert(!EntityLink.hasAmbiguity(unambiguous))
+    assert(EntityLink.hasAmbiguity(aliases))
+    val rng = new scala.util.Random(7)
+    val surfaces = Seq("Machine Learning", "machine learning", "ML",
+      "Artificial Intelligence", "Gradient Descent", "Xq#z", "ab")
+    val predsS = Seq("SubsetOf", "UsedBy", "related to", "", "IsA")
+    val rows = (0 until 400).map { i =>
+      (s"d${rng.nextInt(40)}", surfaces(rng.nextInt(surfaces.length)),
+        predsS(rng.nextInt(predsS.length)), surfaces(rng.nextInt(surfaces.length)),
+        true, true)
+    }
+    val rawDf = raw(rows: _*)
+    val viaRows = graft.graph.Materialize.preAggregate(
+      EntityLink.link(spark, rawDf, unambiguous, docsText))
+    val viaSurface = graft.graph.Materialize.preAggregateBySurface(
+      rawDf.filter(graft.extract.Validity.validPred($"pred")), unambiguous)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getDouble(4),
+        r.getSeq[org.apache.spark.sql.Row](6 - 1).map(_.toString)))
+        .sortBy(t => (t._1, t._2, t._3))
+    val a = canon(viaRows)
+    val b = canon(viaSurface)
+    assert(a.length == b.length && a.nonEmpty)
+    a.zip(b).foreach { case (x, y) =>
+      assert(x._1 == y._1 && x._2 == y._2 && x._3 == y._3, s"key: $x vs $y")
+      assert(x._4 == y._4, s"n_obs: $x vs $y")
+      assert(math.abs(x._5 - y._5) < 1e-9, s"score_sum: $x vs $y")
+      assert(x._6 == y._6, s"provenance: $x vs $y")
+    }
+    assert(viaRows.schema == viaSurface.schema)
+  }
+
   test("generic predicates are filtered before linking") {
     val linked = EntityLink.link(spark,
       raw(("da", "Machine Learning", "related to", "Artificial Intelligence", true, true),

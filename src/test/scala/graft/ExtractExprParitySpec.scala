@@ -91,6 +91,58 @@ class ExtractExprParitySpec extends SparkSuite {
     assert(expr.exists(_._8 == "mm") && expr.exists(_._8 == "m2"))
   }
 
+  test("leftmostLongestInto == leftmostLongest on random byte strings") {
+    // kernel-level pin for the allocation-free selection path (r07): same
+    // hits, same order, for any input — including multi-byte UTF-8
+    val bac = ByteAhoCorasick(aliases ++ preds)
+    val sc = new graft.extract.MatchScratch
+    val texts = Check.samples(sentence, 500) ++ Seq(
+      "", "Machine Machine Learning Learning uses uses AI AI",
+      "中文概念 uses 中文概念. Ångström Synthesis extends Deep Learning Systems")
+    texts.foreach { t =>
+      val b = t.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val expected = bac.leftmostLongest(b, b.length)
+      val k = bac.leftmostLongestInto(b, b.length, sc)
+      assert(k == expected.length, s"count mismatch on '$t'")
+      expected.zipWithIndex.foreach { case (h, i) =>
+        assert(sc.starts(i) == h.start && sc.ends(i) == h.end &&
+          sc.pats(i) == h.patIdx, s"hit $i mismatch on '$t'")
+      }
+    }
+  }
+
+  test("null spans array and null span elements yield zero triples, both eval paths") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val spanType = StructType(Seq(
+      StructField("kind", StringType), StructField("text", StringType),
+      StructField("media_ref", StringType), StructField("offset", IntegerType)))
+    val schema = StructType(Seq(
+      StructField("doc_id", StringType),
+      StructField("spans", ArrayType(spanType, containsNull = true), nullable = true)))
+    val rows = Seq(
+      Row("dnull", null),
+      Row("delem", Seq(null, Row("text", "Machine Learning uses AI.", "", 0))),
+      Row("dok", Seq(Row("text", "Machine Learning extends AI.", "", 0))))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), schema)
+    val out = Extract.rawTriplesCols(df, byteDict, bytePred)
+      .select("doc_id", "subj", "obj").collect()
+    // null array row emits nothing (codegen path must not NPE); the null
+    // ELEMENT is skipped but its sibling span still extracts
+    assert(!out.exists(_.getString(0) == "dnull"))
+    assert(out.count(_.getString(0) == "delem") == 1)
+    assert(out.count(_.getString(0) == "dok") == 1)
+    // interpreted path agrees: empty array, not null
+    val expr = graft.extract.ExtractTriplesExpr(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        null, ArrayType(spanType, containsNull = true)),
+      byteDict, bytePred)
+    val v = expr.eval(org.apache.spark.sql.catalyst.InternalRow.empty)
+    assert(v != null &&
+      v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].numElements() == 0)
+  }
+
   test("plan: columnar path has no object-mode island and codegens the generate") {
     val docs = Seq(Doc("p0", Seq(Span("text", "Machine Learning uses AI.", "", 0))))
     val df = Extract.rawTriplesCols(

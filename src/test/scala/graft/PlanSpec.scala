@@ -80,6 +80,31 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("hashpartitioning(doc_id"), "corpus rows must never shuffle by doc")
   }
 
+  test("surface-aggregated fused plan (r07): corpus rows meet only filter + ONE aggregate; alias joins sit above it") {
+    val raw = Seq(
+      RawTriple("d1", 0, "A", "P", "B", true, true, "", 1.0),
+      RawTriple("d2", 1, "a", "P", "B", true, true, "m", 1.0)).toDS().toDF()
+    val aliases = Seq(("A", "A", 1.0), ("a", "A", 0.7), ("B", "B", 1.0))
+      .toDF("alias", "canonical", "prior")
+    val pre = graft.graph.Materialize.preAggregateBySurface(
+      raw.filter(graft.extract.Validity.validPred(col("pred"))), aliases)
+    val p = plan(pre)
+    assert(countOccurrences(p, "ObjectHashAggregate") >= 4, p.take(4000)) // two partial+final pairs
+    assert(p.contains("BroadcastHashJoin"), p.take(4000))
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p.take(4000))
+    // the plan string prints top-down (final operators first, scan last):
+    // everything BELOW the alias joins — i.e. the corpus-fed subtree — must
+    // already contain the surface aggregate, so per-corpus-row work is the
+    // filter and ONE aggregate update, never a join probe or validName CASE
+    val belowJoins = p.substring(p.lastIndexOf("BroadcastHashJoin"))
+    assert(countOccurrences(belowJoins, "ObjectHashAggregate") >= 1, belowJoins.take(3000))
+    assert(!belowJoins.contains("RLIKE"),
+      "validName must not run on corpus rows:\n" + belowJoins.take(3000))
+    // results: variant surfaces 'A'/'a' collapse into one canonical edge
+    val rows = pre.collect()
+    assert(rows.length == 1 && rows(0).getAs[Long]("n_obs") == 2L)
+  }
+
   test("bounded_collect_list keeps exactly the K order-smallest across partitions (heap path)") {
     import graft.functions.BoundedCollectList.bounded_collect_list
     val rng = new scala.util.Random(7)
