@@ -71,7 +71,7 @@ object Fixtures {
     // path and the extraction kernel to scratch-array selection — regenerate
     // so fixtures are built by the production path (results must be
     // identical; the oracle re-derivation is what proves it)
-    val ready = Paths.get(r, s"_READY_v13_jdk$jdkTag")
+    val ready = Paths.get(r, s"_READY_v14_jdk$jdkTag")
     if (Files.exists(ready)) return r
     import spark.implicits._
 

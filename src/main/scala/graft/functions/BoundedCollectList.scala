@@ -34,6 +34,40 @@ case class BoundedCollectList(
   @transient private lazy val ordering: Ordering[Any] =
     TypeUtils.getInterpretedOrdering(child.dataType)
 
+  /** Fast path for the common `struct(...)` child (r07): on a FULL buffer,
+    * compare the candidate against the heap root FIELD BY FIELD, evaluating
+    * child fields lazily and short-circuiting on the first difference —
+    * the struct row (GenericInternalRow + boxed field array) is never
+    * built for discarded rows. Mirrors InterpretedOrdering's struct
+    * semantics exactly: per-field atomic orderings, nulls first. */
+  @transient private lazy val structFast: Option[(Array[Expression], Array[Ordering[Any]])] =
+    child match {
+      case s: org.apache.spark.sql.catalyst.expressions.CreateNamedStruct =>
+        val fields = s.dataType.fields
+        Some((s.valExprs.toArray,
+          fields.map(f => TypeUtils.getInterpretedOrdering(f.dataType))))
+      case _ => None
+    }
+
+  /** compare(candidate fields of `input`, root fields) < 0 ⇔ candidate is
+    * smaller — identical verdict to `ordering.compare(child.eval(input), root)`. */
+  private def fieldwiseLess(exprs: Array[Expression], ords: Array[Ordering[Any]],
+      input: InternalRow, root: InternalRow): Boolean = {
+    var i = 0
+    while (i < exprs.length) {
+      val l = exprs(i).eval(input)
+      val r = if (root.isNullAt(i)) null else root.get(i, exprs(i).dataType)
+      if (l == null) { if (r != null) return true }
+      else if (r == null) return false
+      else {
+        val c = ords(i).compare(l, r)
+        if (c != 0) return c < 0
+      }
+      i += 1
+    }
+    false
+  }
+
   override def createAggregationBuffer(): mutable.ArrayBuffer[Any] =
     mutable.ArrayBuffer.empty
 
@@ -85,8 +119,20 @@ case class BoundedCollectList(
   }
 
   override def update(buffer: mutable.ArrayBuffer[Any], input: InternalRow): mutable.ArrayBuffer[Any] = {
-    val value = child.eval(input)
-    if (value != null) add(buffer, value, copied = false) else buffer
+    if (buffer.length == limit && structFast.isDefined) {
+      // hot path at corpus scale: full buffer + struct child — decide with
+      // a lazy field-wise compare, build + copy the struct only on insert
+      // (CreateNamedStruct itself never evaluates to null)
+      val (exprs, ords) = structFast.get
+      if (fieldwiseLess(exprs, ords, input, buffer(0).asInstanceOf[InternalRow])) {
+        buffer(0) = convertToBufferElement(child.eval(input))
+        siftDown(buffer, 0)
+      }
+      buffer
+    } else {
+      val value = child.eval(input)
+      if (value != null) add(buffer, value, copied = false) else buffer
+    }
   }
 
   override def merge(buffer: mutable.ArrayBuffer[Any], other: mutable.ArrayBuffer[Any]): mutable.ArrayBuffer[Any] = {

@@ -117,6 +117,24 @@ class PlanSpec extends SparkSuite {
     assert(got == want)
   }
 
+  test("bounded_collect_list struct fast path: K order-smallest structs exact across partitions") {
+    // exercises the r07 field-wise compare (full buffer + CreateNamedStruct
+    // child) including ties on leading fields and the merge of partials
+    import graft.functions.BoundedCollectList.bounded_collect_list
+    val rng = new scala.util.Random(11)
+    val rows = (0 until 6000).map(_ =>
+      (rng.nextInt(3), s"doc-${rng.nextInt(40)}%03d", rng.nextInt(5), s"m${rng.nextInt(3)}"))
+    val df = rows.toDF("k", "d", "s", "m").repartition(8)
+      .groupBy("k")
+      .agg(bounded_collect_list(struct(col("d"), col("s"), col("m")), 24).as("vs"))
+    val got = df.collect().map(r => r.getInt(0) ->
+      r.getSeq[org.apache.spark.sql.Row](1).map(x =>
+        (x.getString(0), x.getInt(1), x.getString(2))).toList).toMap
+    val want = rows.groupBy(_._1).map { case (k, vs) =>
+      k -> vs.map(v => (v._2, v._3, v._4)).sorted.take(24).toList }
+    assert(got == want)
+  }
+
   test("link plan: ambiguity probe is a broadcast automaton filter, NOT a contains-BNLJ corpus scan") {
     val raw = Seq(RawTriple("d1", 0, "X", "P", "B", true, true, "", 1.0)).toDS().toDF()
     // 'X' maps to two canonicals → the ambiguity slow path is IN this plan
