@@ -71,7 +71,9 @@ object Fixtures {
     // path and the extraction kernel to scratch-array selection — regenerate
     // so fixtures are built by the production path (results must be
     // identical; the oracle re-derivation is what proves it)
-    val ready = Paths.get(r, s"_READY_v14_jdk$jdkTag")
+    // v15 (r07): zero-copy in-place span scan (copy-on-emit slices) — same
+    // rationale: fixtures must be built by the kernel that ships
+    val ready = Paths.get(r, s"_READY_v15_jdk$jdkTag")
     if (Files.exists(ready)) return r
     import spark.implicits._
 

@@ -106,21 +106,34 @@ final class ByteAhoCorasick private (
     * span — on a DRAM-bandwidth-bound scan (see class scaladoc) that
     * allocation traffic is pure overhead. Equality with [[leftmostLongest]]
     * is property-pinned by ByteParitySpec. */
-  def leftmostLongestInto(bytes: Array[Byte], len: Int, sc: MatchScratch): Int = {
+  def leftmostLongestInto(bytes: Array[Byte], len: Int, sc: MatchScratch): Int =
+    leftmostLongestInto(bytes,
+      org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET.toLong, len, sc)
+
+  /** Base+offset twin of the byte[] overload, scanning IN PLACE over any
+    * memory Spark hands us (on-heap byte[] region of a ColumnVector /
+    * UnsafeRow, or off-heap with base=null) via `Platform.getByte` — the
+    * caller no longer pays a full `UTF8String.getBytes` copy of every span
+    * text just to scan it (r07; the scan reads each byte exactly once
+    * either way, the copy was pure extra DRAM traffic). The scanned memory
+    * must stay live for the duration of the call only — emitted slices are
+    * copied by the caller. */
+  def leftmostLongestInto(base: AnyRef, off: Long, len: Int, sc: MatchScratch): Int = {
+    import org.apache.spark.unsafe.Platform
     var starts = sc.starts; var ends = sc.ends; var pats = sc.pats
     var m = 0
     var state = 0
     var i = 0
     while (i < len) {
-      state = step(state, bytes(i))
+      state = step(state, Platform.getByte(base, off + i))
       val os = outputs(state)
       if (os.length > 0) {
         var j = 0
         while (j < os.length) {
           val patIdx = os(j)
           val start = i + 1 - patByteLen(patIdx)
-          val okLeft = start == 0 || !isWord(bytes(start - 1))
-          val okRight = i + 1 == len || !isWord(bytes(i + 1))
+          val okLeft = start == 0 || !isWord(Platform.getByte(base, off + start - 1))
+          val okRight = i + 1 == len || !isWord(Platform.getByte(base, off + i + 1))
           if (okLeft && okRight) {
             if (m == starts.length) {
               sc.grow(); starts = sc.starts; ends = sc.ends; pats = sc.pats

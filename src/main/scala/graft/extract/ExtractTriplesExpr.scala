@@ -131,29 +131,39 @@ object ExtractTriplesExpr {
     override def initialValue(): Scratch = new Scratch
   }
 
-  @inline private def trimWs(b: Array[Byte], from0: Int, until0: Int): (Int, Int) = {
+  import org.apache.spark.unsafe.Platform
+
+  @inline private def trimWs(base: AnyRef, off: Long, from0: Int, until0: Int): (Int, Int) = {
     // String.trim semantics: strip chars <= ' ' from both ends (in UTF-8
     // those code points are single bytes, so the byte test is exact)
     var from = from0; var until = until0
-    while (from < until && (b(from) & 0xff) <= 0x20) from += 1
-    while (until > from && (b(until - 1) & 0xff) <= 0x20) until -= 1
+    while (from < until && (Platform.getByte(base, off + from) & 0xff) <= 0x20) from += 1
+    while (until > from && (Platform.getByte(base, off + until - 1) & 0xff) <= 0x20) until -= 1
     (from, until)
   }
 
-  @inline private def trimPunct(b: Array[Byte], from0: Int, until0: Int): (Int, Int) = {
+  @inline private def trimPunct(base: AnyRef, off: Long, from0: Int, until0: Int): (Int, Int) = {
     // Extract.trimPunct: left strips [ ,;], right strips [ .,;]
     var from = from0; var until = until0
     while (from < until && {
-      val c = b(from); c == ' ' || c == ',' || c == ';'
+      val c = Platform.getByte(base, off + from); c == ' ' || c == ',' || c == ';'
     }) from += 1
     while (until > from && {
-      val c = b(until - 1); c == ' ' || c == '.' || c == ',' || c == ';'
+      val c = Platform.getByte(base, off + until - 1)
+      c == ' ' || c == '.' || c == ',' || c == ';'
     }) until -= 1
     (from, until)
   }
 
-  @inline private def slice(b: Array[Byte], from: Int, until: Int): UTF8String =
-    UTF8String.fromBytes(b, from, until - from)
+  /** Copy-on-emit slice: emitted rows outlive the (reused) scan buffers, so
+    * the emitted slice owns a private array — but ONLY emitted slices pay a
+    * copy now, not every scanned span (see compute). */
+  @inline private def slice(base: AnyRef, off: Long, from: Int, until: Int): UTF8String = {
+    val n = until - from
+    val arr = new Array[Byte](n)
+    Platform.copyMemory(base, off + from, arr, Platform.BYTE_ARRAY_OFFSET.toLong, n.toLong)
+    UTF8String.fromBytes(arr)
+  }
 
   /** Static kernel target for interpreted eval AND generated code.
     * Semantics identical to the pre-scratch implementation (pinned by
@@ -180,23 +190,26 @@ object ExtractTriplesExpr {
         } else {
           val text = sp.getUTF8String(1)
           if (text != null) {
-            // compact copy of this span's bytes (UnsafeRow-backed strings are
-            // offset views, so getBytes copies exactly once); all emitted
-            // slices wrap THIS private array — no further copies
-            val bytes = text.getBytes
-            val len = bytes.length
-            val nm = dict.leftmostLongestInto(bytes, len, sc.dictHits)
+            // scan IN PLACE over the bytes Spark already holds (ColumnVector
+            // buffer / UnsafeRow region): the former per-span getBytes
+            // compaction copied EVERY scanned byte before reading it — pure
+            // DRAM traffic on a bandwidth-bound kernel. Only emitted slices
+            // copy now (they must outlive the reused scan buffers).
+            val base = text.getBaseObject
+            val off = text.getBaseOffset
+            val len = text.numBytes()
+            val nm = dict.leftmostLongestInto(base, off, len, sc.dictHits)
             val dh = sc.dictHits
             if (nm >= 2) {
-              val (pf, pu) = trimWs(bytes, dh.ends(0), dh.starts(nm - 1))
+              val (pf, pu) = trimWs(base, off, dh.ends(0), dh.starts(nm - 1))
               sc.addRow(new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
                 Array[Any](idx,
                   dict.patternUtf8(dh.pats(0)),
-                  slice(bytes, pf, pu),
+                  slice(base, off, pf, pu),
                   dict.patternUtf8(dh.pats(nm - 1)),
                   TRUE, TRUE, lastMedia, ConfDict)))
             } else {
-              val np = preds.leftmostLongestInto(bytes, len, sc.predHits)
+              val np = preds.leftmostLongestInto(base, off, len, sc.predHits)
               if (np > 0) {
                 val ph = sc.predHits
                 val pStart = ph.starts(0); val pEnd = ph.ends(0)
@@ -204,10 +217,10 @@ object ExtractTriplesExpr {
                 val objIsMention = nm > 0 && dh.starts(0) >= pEnd
                 val subj =
                   if (subjIsMention) dict.patternUtf8(dh.pats(0))
-                  else { val (f, u) = trimPunct(bytes, 0, pStart); slice(bytes, f, u) }
+                  else { val (f, u) = trimPunct(base, off, 0, pStart); slice(base, off, f, u) }
                 val obj =
                   if (objIsMention) dict.patternUtf8(dh.pats(0))
-                  else { val (f, u) = trimPunct(bytes, pEnd, len); slice(bytes, f, u) }
+                  else { val (f, u) = trimPunct(base, off, pEnd, len); slice(base, off, f, u) }
                 if (subj.numBytes() > 0 && obj.numBytes() > 0)
                   sc.addRow(new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
                     Array[Any](idx, subj,
