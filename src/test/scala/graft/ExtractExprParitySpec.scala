@@ -111,6 +111,34 @@ class ExtractExprParitySpec extends SparkSuite {
     }
   }
 
+  test("base+offset overload == byte[] overload at nonzero offsets (zero-copy scan, r07)") {
+    // the in-place scan reads [off, off+len) of a larger buffer (the shape
+    // ColumnVector/UnsafeRow-backed UTF8Strings hand it); padding bytes are
+    // WORD characters so a boundary bug that peeks outside the window would
+    // flip a word-boundary verdict and fail the compare
+    val bac = ByteAhoCorasick(aliases ++ preds)
+    val sc1 = new graft.extract.MatchScratch
+    val sc2 = new graft.extract.MatchScratch
+    val texts = Check.samples(sentence, 200) ++ Seq(
+      "", "Machine Learning uses AI",
+      "中文概念 uses 中文概念. Ångström Synthesis extends Deep Learning Systems")
+    val off = org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET.toLong
+    texts.foreach { t =>
+      val b = t.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val pad = 7
+      val buf = new Array[Byte](b.length + pad + 3)
+      java.util.Arrays.fill(buf, 'x'.toByte) // word bytes on both flanks
+      System.arraycopy(b, 0, buf, pad, b.length)
+      val k1 = bac.leftmostLongestInto(b, b.length, sc1)
+      val k2 = bac.leftmostLongestInto(buf, off + pad, b.length, sc2)
+      assert(k2 == k1, s"count mismatch on '$t'")
+      (0 until k1).foreach { i =>
+        assert(sc2.starts(i) == sc1.starts(i) && sc2.ends(i) == sc1.ends(i) &&
+          sc2.pats(i) == sc1.pats(i), s"hit $i mismatch on '$t'")
+      }
+    }
+  }
+
   test("null spans array and null span elements yield zero triples, both eval paths") {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
